@@ -1,0 +1,161 @@
+"""Photometric self-supervision losses (camera/rigid and flow paths), NHWC.
+
+Parity: loss_functions.py:27-137 (photometric_flow_loss,
+photometric_reconstruction_loss, depth_occlusion_masks, occlusion_masks).
+
+Conventions: images [B,H,W,3]; flows [B,h,w,2]; depth scales [B,h,w,1];
+explainability masks [B,h,w,nref]; pose [B,nref,6]; intrinsics [B,3,3].
+Multi-scale inputs are Python lists (static under jit — XLA unrolls and
+fuses the per-scale graphs).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from cc_tpu.geometry import inverse_warp, flow_warp, pose2flow
+from cc_tpu.geometry.camera import scale_intrinsics, scale_intrinsics_inv
+from cc_tpu.losses.charbonnier import robust_l1
+from cc_tpu.losses.ssim import ssim
+
+
+def occlusion_masks(flow_bw: jnp.ndarray, flow_fw: jnp.ndarray):
+    """Forward/backward occlusion masks [B,h,w] each.
+
+    Reproduces the reference formula exactly (loss_functions.py:343-352),
+    including its quirk that both outputs are identical:
+    occ = sum_ch(flow_fw + flow_bw) > 0.08*|flow|^2 + 1.
+    """
+    mag_sq = jnp.sum(flow_fw ** 2, axis=-1) + jnp.sum(flow_bw ** 2, axis=-1)
+    flow_diff_sum = jnp.sum(flow_fw + flow_bw, axis=-1)
+    occ_thresh = 0.08 * mag_sq + 1.0
+    occ = (flow_diff_sum > occ_thresh).astype(flow_fw.dtype)
+    return occ, occ
+
+
+def depth_occlusion_masks(depth: jnp.ndarray, pose: jnp.ndarray,
+                          intrinsics: jnp.ndarray,
+                          intrinsics_inv: jnp.ndarray) -> jnp.ndarray:
+    """Occlusion masks [B,h,w,4] from rigid flows of the 4 ref frames.
+
+    NOTE (kept quirk): called with FULL-RES intrinsics regardless of the
+    depth scale, exactly as loss_functions.py:126,132-137 does.
+    """
+    d = depth[..., 0] if depth.ndim == 4 else depth
+    flows_cam = [pose2flow(d, pose[:, i], intrinsics, intrinsics_inv)
+                 for i in range(pose.shape[1])]
+    masks1, masks2 = occlusion_masks(flows_cam[1], flows_cam[2])
+    masks0, masks3 = occlusion_masks(flows_cam[0], flows_cam[3])
+    return jnp.stack([masks0, masks1, masks2, masks3], axis=-1)
+
+
+def _valid_pixels(warped: jnp.ndarray) -> jnp.ndarray:
+    """1 - all-channels-exactly-zero, keepdims (loss_functions.py:45,100)."""
+    allzero = jnp.prod((warped == 0).astype(warped.dtype), axis=-1,
+                       keepdims=True)
+    return 1.0 - allzero
+
+
+def _pool_to(img: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    from cc_tpu.ops.image import adaptive_avg_pool
+    return adaptive_avg_pool(img, (h, w))
+
+
+def photometric_reconstruction_loss(
+    tgt_img, ref_imgs, intrinsics, intrinsics_inv, depth,
+    explainability_mask, pose, rotation_mode="euler", padding_mode="zeros",
+    lambda_oob=0.0, qch=0.5, wssim=0.5,
+):
+    """Rigid-path photometric loss over all depth scales and ref frames.
+
+    Parity: loss_functions.py:80-128. `depth` is a list of [B,h,w,1];
+    `explainability_mask` a matching list of [B,h,w,nref] (or None entries).
+    """
+    if not isinstance(explainability_mask, (list, tuple)):
+        explainability_mask = [explainability_mask]
+    if not isinstance(depth, (list, tuple)):
+        depth = [depth]
+
+    def one_scale(d, exp_mask, occ_masks):
+        b, h, w, _ = d.shape
+        downscale = tgt_img.shape[1] / h
+        tgt_s = _pool_to(tgt_img, h, w)
+        refs_s = [_pool_to(r, h, w) for r in ref_imgs]
+        k_s = scale_intrinsics(intrinsics, downscale)
+        k_inv_s = scale_intrinsics_inv(intrinsics_inv, downscale)
+
+        loss = 0.0
+        for i, ref in enumerate(refs_s):
+            warped = inverse_warp(ref, d[..., 0], pose[:, i], k_s, k_inv_s,
+                                  rotation_mode, padding_mode)
+            valid = _valid_pixels(warped)
+            diff = (tgt_s - warped) * valid
+            ssim_loss = 1.0 - ssim(tgt_s, warped) * valid
+            oob_norm = valid.size / jnp.sum(valid)
+
+            occ_i = 1.0 - occ_masks[..., i:i + 1]
+            if exp_mask is not None:
+                diff = diff * occ_i * exp_mask[..., i:i + 1]
+                ssim_loss = ssim_loss * occ_i * exp_mask[..., i:i + 1]
+            else:
+                diff = diff * occ_i
+                ssim_loss = ssim_loss * occ_i
+
+            loss = loss + (1 - wssim) * oob_norm * (
+                robust_l1(diff, q=qch) + wssim * jnp.mean(ssim_loss)
+            ) + lambda_oob * robust_l1(1.0 - valid, q=qch)
+        return loss
+
+    total = 0.0
+    for d, mask in zip(depth, explainability_mask):
+        occ = depth_occlusion_masks(d, pose, intrinsics, intrinsics_inv)
+        total = total + one_scale(d, mask, occ)
+    return total
+
+
+def photometric_flow_loss(tgt_img, ref_imgs, flows, explainability_mask,
+                          lambda_oob=0.0, qch=0.5, wssim=0.5):
+    """Non-rigid photometric loss. Parity: loss_functions.py:27-77.
+
+    `flows` is [flows_bwd, flows_fwd], each a list over scales of [B,h,w,2];
+    `ref_imgs` is [ref_bwd, ref_fwd]; `explainability_mask` a list over
+    scales of [B,h,w,2] (or None entries).
+    """
+    if not isinstance(flows[0], (list, tuple)):
+        if explainability_mask is not None:
+            explainability_mask = [explainability_mask]
+        flows = [[uv] for uv in flows]
+
+    def one_scale(exp_mask, occ_masks, flows_s):
+        b, h, w, _ = flows_s[0].shape
+        tgt_s = _pool_to(tgt_img, h, w)
+        refs_s = [_pool_to(r, h, w) for r in ref_imgs]
+
+        loss = 0.0
+        for i, ref in enumerate(refs_s):
+            warped = flow_warp(ref, flows_s[i])
+            valid = _valid_pixels(warped)
+            diff = (tgt_s - warped) * valid
+            ssim_loss = 1.0 - ssim(tgt_s, warped) * valid
+            oob_norm = valid.size / jnp.sum(valid)
+
+            if exp_mask is not None:
+                diff = diff * exp_mask[..., i:i + 1]
+                ssim_loss = ssim_loss * exp_mask[..., i:i + 1]
+            if occ_masks is not None:
+                diff = diff * (1.0 - occ_masks[..., i:i + 1])
+                ssim_loss = ssim_loss * (1.0 - occ_masks[..., i:i + 1])
+
+            loss = loss + (1 - wssim) * oob_norm * (
+                robust_l1(diff, q=qch) + wssim * jnp.mean(ssim_loss)
+            ) + lambda_oob * robust_l1(1.0 - valid, q=qch)
+        return loss
+
+    total = 0.0
+    n_scales = len(flows[0])
+    for s in range(n_scales):
+        flows_s = [uv[s] for uv in flows]
+        occ_bw, occ_fw = occlusion_masks(flows_s[0], flows_s[1])
+        occ = jnp.stack([occ_bw, occ_fw], axis=-1)
+        exp_s = explainability_mask[s] if explainability_mask is not None else None
+        total = total + one_scale(exp_s, occ, flows_s)
+    return total

@@ -1,0 +1,19 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Tests never require real TPU hardware. Sharding/pjit tests use an 8-device
+CPU mesh (the idiomatic "multi-chip without a cluster" substitute, see
+SURVEY.md §4e). Must run before jax initializes its backends.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
