@@ -1,0 +1,83 @@
+"""Benchmark: full CC joint train step (4 nets + 5 losses + Adam) at the
+canonical operating point — 832x256, batch 4, DispResNet6 + PoseNetB6 +
+MaskNet6 + Back2Future, nlevels=6, wssim on, edge-aware smoothness
+(README.md:59-66 / BASELINE.md).
+
+Prints ONE JSON line: frames/sec/chip of the jitted donated train step.
+The reference publishes no throughput numbers (BASELINE.md), so vs_baseline
+is reported against CC_BASELINE_FPS if set, else null.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+
+def main():
+    import jax.numpy as jnp
+    from cc_tpu.train import TrainConfig, make_models, init_state, \
+        build_train_step
+
+    batch_size = int(os.environ.get("CC_BENCH_BATCH", "4"))
+    h = int(os.environ.get("CC_BENCH_H", "256"))
+    w = int(os.environ.get("CC_BENCH_W", "832"))
+    steps = int(os.environ.get("CC_BENCH_STEPS", "20"))
+
+    cfg = TrainConfig(
+        height=h, width=w, batch_size=batch_size,
+        wssim=0.997, smoothness_type="edgeaware",
+        mask_loss_weight=0.1, flow_photo_loss_weight=0.5,
+        cam_photo_loss_weight=1.0, smooth_loss_weight=0.1,
+        consensus_loss_weight=0.3, lr=1e-4,
+    )
+    mods = make_models(cfg)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+
+    r = np.random.RandomState(0)
+    k = np.array([[w * 0.6, 0, w / 2], [0, h * 1.2, h / 2], [0, 0, 1]],
+                 dtype=np.float32)[None].repeat(batch_size, 0)
+    batch = {
+        "tgt": jnp.asarray(
+            r.rand(batch_size, h, w, 3).astype(np.float32) * 2 - 1),
+        "refs": jnp.asarray(
+            r.rand(batch_size, 4, h, w, 3).astype(np.float32) * 2 - 1),
+        "intrinsics": jnp.asarray(k),
+        "intrinsics_inv": jnp.asarray(np.linalg.inv(k)),
+    }
+
+    step = build_train_step(cfg, mods, donate=True)
+
+    # warmup / compile
+    for _ in range(3):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = steps / dt
+    frames_per_sec = steps_per_sec * batch_size
+    baseline = os.environ.get("CC_BASELINE_FPS")
+    vs = frames_per_sec / float(baseline) if baseline else None
+    print(json.dumps({
+        "metric": "cc_joint_train_frames_per_sec_per_chip_832x256_b4",
+        "value": round(frames_per_sec, 3),
+        "unit": "frames/s/chip",
+        "vs_baseline": vs,
+        "detail": {
+            "steps_per_sec": round(steps_per_sec, 4),
+            "loss": float(metrics["loss"]),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

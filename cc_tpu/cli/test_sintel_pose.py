@@ -1,0 +1,83 @@
+"""MPI-Sintel pose benchmark (parity: /root/reference/test_sintel_pose.py).
+
+python -m cc_tpu.cli.test_sintel_pose P.pth.tar --dataset-dir SINTEL \
+    --sequences alley_1 --posenet PoseNetB6
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+parser = argparse.ArgumentParser(
+    description="PoseNet rotation error on MPI-Sintel",
+    formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+parser.add_argument("pretrained_posenet")
+parser.add_argument("--posenet", default="PoseNetB6")
+parser.add_argument("--img-height", default=256, type=int)
+parser.add_argument("--img-width", default=832, type=int)
+parser.add_argument("--no-resize", action="store_true")
+parser.add_argument("--dataset-dir", default=".")
+parser.add_argument("--sequences", default=["alley_1"], nargs="*")
+parser.add_argument("--output-dir", default=None)
+parser.add_argument("--rotation-mode", default="euler",
+                    choices=["euler", "quat"])
+parser.add_argument("--seq-length", default=5, type=int)
+
+
+def main(argv=None):
+    args = parser.parse_args(argv)
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from cc_tpu.cli.test_disp import load_net_params
+    from cc_tpu.eval.kitti_pose import snippet_poses_from_prediction
+    from cc_tpu.eval.sintel import SintelPoseFramework, \
+        compute_rotation_error
+
+    pose_net, pose_vars = load_net_params(
+        args.pretrained_posenet, args.posenet,
+        nb_ref_imgs=args.seq_length - 1)
+    framework = SintelPoseFramework(args.dataset_dir, args.sequences,
+                                    args.seq_length)
+    print(f"{len(framework)} snippets to test")
+
+    @jax.jit
+    def fwd(tgt, refs):
+        out = pose_net.apply(pose_vars, tgt,
+                             [refs[:, i] for i in range(refs.shape[1])],
+                             training=False)
+        return out[1] if isinstance(out, tuple) else out
+
+    def prep(im):
+        if not args.no_resize and im.shape[:2] != (args.img_height,
+                                                   args.img_width):
+            im = cv2.resize(im, (args.img_width, args.img_height))
+        return ((im / 255.0 - 0.5) / 0.5).astype(np.float32)
+
+    res = []
+    preds = []
+    for sample in framework:
+        imgs = [prep(im) for im in sample["imgs"]]
+        mid = len(imgs) // 2
+        tgt = jnp.asarray(imgs[mid][None])
+        refs = jnp.asarray(np.stack(imgs[:mid] + imgs[mid + 1:])[None])
+        poses = np.asarray(fwd(tgt, refs))[0]
+        final = snippet_poses_from_prediction(poses, args.rotation_mode)
+        preds.append(final)
+        res.append(compute_rotation_error(sample["poses"], final))
+
+    res = np.asarray(res)
+    print("\nResults\n\t {:>10}".format("RE"))
+    print(f"mean \t {res.mean():10.4f}")
+    print(f"std \t {res.std():10.4f}")
+    if args.output_dir:
+        import os
+        os.makedirs(args.output_dir, exist_ok=True)
+        np.save(os.path.join(args.output_dir, "predictions.npy"),
+                np.stack(preds))
+    return res.mean()
+
+
+if __name__ == "__main__":
+    main()

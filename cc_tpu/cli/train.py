@@ -1,0 +1,323 @@
+"""Joint Competitive-Collaboration training CLI.
+
+TPU-native rebuild of /root/reference/train.py: same flag surface (the ones
+that are live in the reference), same alternation semantics (--fix-*), same
+per-epoch validation + decisive-error checkpointing — but one jitted donated
+train step over a device mesh instead of DataParallel, a threaded host
+pipeline with device prefetch, and orbax checkpoints.
+
+Usage:
+  python -m cc_tpu.cli.train DATA --name EXP --dispnet DispResNet6 \
+      --posenet PoseNetB6 --masknet MaskNet6 --flownet Back2Future \
+      -b4 -pc 1.0 -pf 0.5 -m 0.1 -s 0.1 -c 0.3 --nlevels 6 --lr 1e-4 \
+      -wssim 0.997 --smoothness-type edgeaware --fix-masknet --fix-flownet
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Competitive Collaboration training (TPU-native)",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("data", metavar="DIR", help="path to formatted dataset")
+    p.add_argument("--name", required=True,
+                   help="experiment name; checkpoints under checkpoints/NAME")
+    p.add_argument("--kitti-dir", default="kitti/kitti2015",
+                   help="KITTI2015 dir for flow validation")
+    p.add_argument("--DEBUG", action="store_true")
+    p.add_argument("--sequence-length", type=int, default=5)
+    p.add_argument("--rotation-mode", choices=["euler", "quat"],
+                   default="euler")
+    p.add_argument("--padding-mode", choices=["zeros", "border"],
+                   default="zeros")
+    p.add_argument("--with-depth-gt", action="store_true")
+    p.add_argument("--with-flow-gt", action="store_true")
+    p.add_argument("-j", "--workers", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--epoch-size", type=int, default=0)
+    p.add_argument("-b", "--batch-size", type=int, default=4)
+    p.add_argument("--lr", "--learning-rate", type=float, default=2e-4,
+                   dest="lr")
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--beta", type=float, default=0.999)
+    p.add_argument("--weight-decay", "--wd", type=float, default=0.0,
+                   dest="weight_decay")
+    p.add_argument("--print-freq", type=int, default=10)
+    p.add_argument("--smoothness-type", choices=["edgeaware", "regular"],
+                   default="regular")
+    p.add_argument("--data-normalization", choices=["local", "global"],
+                   default="global")
+    p.add_argument("--nlevels", type=int, default=6)
+    p.add_argument("--dispnet", default="DispResNet6",
+                   choices=["DispNetS", "DispNetS6", "DispResNetS6",
+                            "DispResNet6"])
+    p.add_argument("--posenet", default="PoseNetB6",
+                   choices=["PoseNet6", "PoseNetB6", "PoseExpNet"])
+    p.add_argument("--masknet", default="MaskNet6",
+                   choices=["MaskResNet6", "MaskNet6"])
+    p.add_argument("--flownet", default="Back2Future",
+                   choices=["Back2Future", "FlowNetC6"])
+    p.add_argument("--pretrained-disp", default=None)
+    p.add_argument("--pretrained-mask", default=None)
+    p.add_argument("--pretrained-pose", default=None)
+    p.add_argument("--pretrained-flow", default=None)
+    p.add_argument("--spatial-normalize", action="store_true")
+    p.add_argument("--no-non-rigid-mask", action="store_true")
+    p.add_argument("--joint-mask-for-depth", action="store_true")
+    p.add_argument("--fix-masknet", action="store_true")
+    p.add_argument("--fix-posenet", action="store_true")
+    p.add_argument("--fix-flownet", action="store_true")
+    p.add_argument("--fix-dispnet", action="store_true")
+    p.add_argument("--fix-posemasknet", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-summary", default="progress_log_summary.csv")
+    p.add_argument("--log-full", default="progress_log_full.csv")
+    p.add_argument("-qch", "--qch", type=float, default=0.5)
+    p.add_argument("-wrig", "--wrig", type=float, default=1.0)
+    p.add_argument("-wbce", "--wbce", type=float, default=0.5)
+    p.add_argument("-wssim", "--wssim", type=float, default=0.0)
+    p.add_argument("-pc", "--cam-photo-loss-weight", type=float, default=1.0)
+    p.add_argument("-pf", "--flow-photo-loss-weight", type=float, default=1.0)
+    p.add_argument("-m", "--mask-loss-weight", type=float, default=0.0)
+    p.add_argument("-s", "--smooth-loss-weight", type=float, default=0.1)
+    p.add_argument("-c", "--consensus-loss-weight", type=float, default=0.1)
+    p.add_argument("--THRESH", type=float, default=0.01)
+    p.add_argument("--lambda-oob", type=float, default=0.0)
+    p.add_argument("--log-output", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--width", type=int, default=832)
+    p.add_argument("-f", "--training-output-freq", type=int, default=0)
+    return p
+
+
+def config_from_args(args):
+    from cc_tpu.train import TrainConfig
+    fix_pose = args.fix_posenet or args.fix_posemasknet
+    fix_mask = args.fix_masknet or args.fix_posemasknet
+    return TrainConfig(
+        dispnet=args.dispnet, posenet=args.posenet, masknet=args.masknet,
+        flownet=args.flownet, nlevels=args.nlevels,
+        sequence_length=args.sequence_length, height=args.height,
+        width=args.width, batch_size=args.batch_size, lr=args.lr,
+        momentum=args.momentum, beta=args.beta,
+        weight_decay=args.weight_decay,
+        cam_photo_loss_weight=args.cam_photo_loss_weight,
+        mask_loss_weight=args.mask_loss_weight,
+        smooth_loss_weight=args.smooth_loss_weight,
+        flow_photo_loss_weight=args.flow_photo_loss_weight,
+        consensus_loss_weight=args.consensus_loss_weight,
+        qch=args.qch, wrig=args.wrig, wbce=args.wbce, wssim=args.wssim,
+        THRESH=args.THRESH, lambda_oob=args.lambda_oob,
+        rotation_mode=args.rotation_mode, padding_mode=args.padding_mode,
+        smoothness_type=args.smoothness_type,
+        spatial_normalize=args.spatial_normalize,
+        no_non_rigid_mask=args.no_non_rigid_mask,
+        joint_mask_for_depth=args.joint_mask_for_depth,
+        fix_dispnet=args.fix_dispnet, fix_posenet=fix_pose,
+        fix_masknet=fix_mask, fix_flownet=args.fix_flownet,
+    )
+
+
+def validate_depth(cfg, mods, state, val_loader, fwd_disp):
+    """Depth validation (train.py:588-636): [abs_diff, abs_rel, sq_rel,
+    a1, a2, a3]."""
+    from cc_tpu.losses import compute_depth_errors
+    from cc_tpu.utils.logging import AverageMeter
+
+    errors = AverageMeter(i=6)
+    for batch in val_loader:
+        disp = fwd_disp(state.params, state.batch_stats, batch["tgt"])
+        depth = 1.0 / np.asarray(disp)[..., 0]
+        errors.update(compute_depth_errors(batch["depth"], depth,
+                                           crop=True))
+    return errors.avg, ["abs_diff", "abs_rel", "sq_rel", "a1", "a2", "a3"]
+
+
+def validate_flow(cfg, mods, state, val_loader, fwd_eval):
+    """Flow validation (train.py:638-777): 8 EPE/outlier metrics with
+    predicted and GT rigidity masks."""
+    import jax.numpy as jnp
+    from cc_tpu.eval.composite import rigidity_masks
+    from cc_tpu.geometry import pose2flow
+    from cc_tpu.losses import compute_all_epes
+    from cc_tpu.utils.logging import AverageMeter
+
+    names = ["epe_total", "epe_rigid", "epe_non_rigid", "outliers",
+             "epe_total_with_gt_mask", "epe_rigid_with_gt_mask",
+             "epe_non_rigid_with_gt_mask", "outliers_gt_mask"]
+    errors = AverageMeter(i=len(names))
+    for batch in val_loader:
+        out = fwd_eval(state.params, state.batch_stats, {
+            "tgt": batch["tgt"], "refs": batch["refs"],
+            "intrinsics": batch["intrinsics"],
+            "intrinsics_inv": batch["intrinsics_inv"]})
+        depth = np.asarray(out["depth"])[..., 0]
+        flow_cam = pose2flow(jnp.asarray(depth), out["pose"][:, 2],
+                             batch["intrinsics"], batch["intrinsics_inv"],
+                             cfg.rotation_mode)
+        _, _, combined = rigidity_masks(flow_cam, out["flow_fwd"],
+                                        out["exp_mask"], cfg.THRESH)
+        flow_gt = batch["flow_gt"]
+        obj_map = batch["obj_map"][..., None]
+        e = compute_all_epes(flow_gt, flow_cam, out["flow_fwd"], combined,
+                             THRESH=cfg.THRESH)
+        e += compute_all_epes(flow_gt, flow_cam, out["flow_fwd"],
+                              1.0 - obj_map, THRESH=cfg.THRESH)
+        errors.update(e)
+    return errors.avg, names
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    with open("experiment_recorder.md", "a") as f:
+        f.write("\npython3 " + " ".join(sys.argv))
+
+    import jax
+    from cc_tpu.data import (DataLoader, SequenceFolder, ValidationSet,
+                             device_prefetch, transforms)
+    from cc_tpu.data.validation import ValidationFlow
+    from cc_tpu.parallel import make_mesh, shard_batch
+    from cc_tpu.train import (build_forward_eval, build_train_step,
+                              init_state, make_models)
+    from cc_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from cc_tpu.train.torch_import import maybe_load_torch_weights
+    from cc_tpu.utils.logging import AverageMeter, CsvLogger, SummaryLogger
+
+    cfg = config_from_args(args)
+    save_path = os.path.join("checkpoints", args.name)
+    os.makedirs(save_path, exist_ok=True)
+    print(f"=> will save everything to {save_path}")
+
+    norm = args.data_normalization
+    train_tf = transforms.train_transform(
+        norm, with_rotation=not args.fix_flownet)
+    valid_tf = transforms.valid_transform(norm)
+    valid_flow_tf = transforms.valid_flow_transform(256, 832, norm)
+
+    print(f"=> fetching scenes in '{args.data}'")
+    train_set = SequenceFolder(args.data, seed=args.seed, train=True,
+                               sequence_length=args.sequence_length,
+                               transform=train_tf)
+    if args.DEBUG:
+        train_set.samples = train_set.samples[:32]
+    print(f"{len(train_set)} samples in {len(train_set.scenes)} train scenes")
+
+    val_depth_loader = None
+    if args.with_depth_gt:
+        val_set = ValidationSet(args.data.replace("cityscapes", "kitti"),
+                                transform=valid_tf)
+        val_depth_loader = DataLoader(val_set, args.batch_size,
+                                      num_workers=args.workers)
+    val_flow_loader = None
+    if args.with_flow_gt:
+        val_flow_set = ValidationFlow(root=args.kitti_dir,
+                                      sequence_length=args.sequence_length,
+                                      transform=valid_flow_tf)
+        val_flow_loader = DataLoader(val_flow_set, 1,
+                                     num_workers=args.workers)
+
+    train_loader = DataLoader(train_set, args.batch_size, shuffle=True,
+                              num_workers=args.workers, seed=args.seed)
+    epoch_size = args.epoch_size or len(train_loader)
+
+    print("=> creating models")
+    mods = make_models(cfg)
+    state = init_state(cfg, jax.random.PRNGKey(args.seed))
+    state = maybe_load_torch_weights(cfg, state, disp=args.pretrained_disp,
+                                     pose=args.pretrained_pose,
+                                     mask=args.pretrained_mask,
+                                     flow=args.pretrained_flow)
+    if args.resume:
+        print("=> resuming from checkpoint")
+        state = load_checkpoint(save_path, state)
+
+    mesh = make_mesh()
+    print(f"=> mesh over {mesh.size} device(s); jitting train step")
+    step_fn = build_train_step(cfg, mods, mesh=mesh)
+    fwd_eval = build_forward_eval(cfg, mods)
+    import jax.numpy as jnp
+
+    def fwd_disp(params, batch_stats, tgt):
+        from cc_tpu.train.state import apply_net
+        out, _ = apply_net(mods.disp, params["disp"], batch_stats["disp"],
+                           jnp.asarray(tgt), training=False)
+        return out
+    fwd_disp = jax.jit(fwd_disp)
+
+    writer = SummaryLogger(save_path)
+    summary_csv = CsvLogger(os.path.join(save_path, args.log_summary),
+                            ["train_loss", "validation_loss"])
+    full_csv = CsvLogger(
+        os.path.join(save_path, args.log_full),
+        ["train_loss", "photo_cam_loss", "photo_flow_loss",
+         "explainability_loss", "smooth_loss"])
+
+    best_error = -1.0
+    n_iter = 0
+    for epoch in range(args.epochs):
+        losses = AverageMeter(precision=4)
+        t0 = time.time()
+        for i, batch in enumerate(
+                device_prefetch(iter(train_loader), mesh=mesh)):
+            if i >= epoch_size:
+                break
+            state, metrics = step_fn(state, batch)
+            if i > 0 and n_iter % args.print_freq == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                losses.update(m["loss"], args.batch_size)
+                for tag in ("loss", "photo_cam_loss", "photo_flow_loss",
+                            "explainability_loss", "smooth_loss",
+                            "consensus_loss"):
+                    writer.add_scalar(tag, m[tag], n_iter)
+                full_csv.append([m["loss"], m["photo_cam_loss"],
+                                 m["photo_flow_loss"],
+                                 m["explainability_loss"], m["smooth_loss"]])
+                rate = args.batch_size * (i + 1) / (time.time() - t0)
+                print(f"epoch {epoch} it {i}/{epoch_size} "
+                      f"loss {m['loss']:.4f} ({rate:.1f} im/s)")
+            n_iter += 1
+        train_loss = losses.avg[0]
+
+        flow_errors = depth_errors = None
+        if val_flow_loader is not None:
+            flow_errors, flow_names = validate_flow(
+                cfg, mods, state, iter(val_flow_loader), fwd_eval)
+            for e, n in zip(flow_errors, flow_names):
+                writer.add_scalar(n, e, epoch)
+        if val_depth_loader is not None:
+            depth_errors, depth_names = validate_depth(
+                cfg, mods, state, iter(val_depth_loader), fwd_disp)
+            for e, n in zip(depth_errors, depth_names):
+                writer.add_scalar(n, e, epoch)
+            print("Epoch {} depth: {}".format(epoch, ", ".join(
+                f"{n} {e:.3f}" for n, e in zip(depth_names, depth_errors))))
+
+        # decisive error selection (train.py:382-389)
+        decisive = train_loss
+        if not cfg.fix_posenet and flow_errors:
+            decisive = flow_errors[-2]
+        elif not cfg.fix_dispnet and depth_errors:
+            decisive = depth_errors[0]
+        elif not cfg.fix_flownet and flow_errors:
+            decisive = flow_errors[-1]
+        elif not cfg.fix_masknet and flow_errors:
+            decisive = flow_errors[3]
+        if best_error < 0:
+            best_error = decisive
+        is_best = decisive <= best_error
+        best_error = min(best_error, decisive)
+        save_checkpoint(save_path, state, is_best=is_best)
+        summary_csv.append([train_loss, decisive])
+    print("=> done")
+
+
+if __name__ == "__main__":
+    main()

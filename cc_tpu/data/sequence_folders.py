@@ -1,0 +1,79 @@
+"""SequenceFolder dataset — scene folders of jpgs + cam.txt intrinsics.
+
+Format parity with datasets/sequence_folders.py:30-64 (the output of the
+prepare_train_data ETL): root/train.txt, root/val.txt list scene dirs, each
+scene dir holds NNNNNNN.jpg frames + cam.txt (3x3, comma-separated).
+Samples are center target + demi_length refs each side.
+"""
+from __future__ import annotations
+
+import os
+import glob
+import random
+
+import numpy as np
+
+
+def load_image(path: str) -> np.ndarray:
+    """Decode an image to HWC float32 (0..255 range, like imread)."""
+    import cv2
+    im = cv2.imread(path, cv2.IMREAD_COLOR)
+    if im is None:
+        raise FileNotFoundError(path)
+    return cv2.cvtColor(im, cv2.COLOR_BGR2RGB).astype(np.float32)
+
+
+def crawl_folders(folders, sequence_length, shuffle_seed=None):
+    sequence_set = []
+    demi = (sequence_length - 1) // 2
+    for folder in folders:
+        intrinsics = np.genfromtxt(
+            os.path.join(folder, "cam.txt"), delimiter=",",
+        ).astype(np.float32).reshape(3, 3)
+        imgs = sorted(glob.glob(os.path.join(folder, "*.jpg")))
+        if len(imgs) < sequence_length:
+            continue
+        for i in range(demi, len(imgs) - demi):
+            refs = [imgs[i + j] for j in range(-demi, demi + 1) if j != 0]
+            sequence_set.append(
+                {"intrinsics": intrinsics, "tgt": imgs[i], "ref_imgs": refs})
+    rng = random.Random(shuffle_seed)
+    rng.shuffle(sequence_set)
+    return sequence_set
+
+
+class SequenceFolder:
+    """Yields dict samples {'tgt': [H,W,3], 'refs': [nref,H,W,3],
+    'intrinsics': [3,3], 'intrinsics_inv': [3,3]} (NHWC float32)."""
+
+    def __init__(self, root: str, seed=None, train: bool = True,
+                 sequence_length: int = 3, transform=None):
+        self.root = root
+        list_file = os.path.join(root, "train.txt" if train else "val.txt")
+        with open(list_file) as f:
+            self.scenes = [os.path.join(root, line.strip())
+                           for line in f if line.strip()]
+        self.samples = crawl_folders(self.scenes, sequence_length,
+                                     shuffle_seed=seed)
+        self.transform = transform
+        self.seed = seed
+
+    def __getitem__(self, index):
+        sample = self.samples[index]
+        tgt = load_image(sample["tgt"])
+        refs = [load_image(p) for p in sample["ref_imgs"]]
+        intrinsics = np.copy(sample["intrinsics"])
+        if self.transform is not None:
+            rng = np.random.default_rng(
+                None if self.seed is None else (self.seed * 1000003 + index))
+            imgs, intrinsics = self.transform([tgt] + refs, intrinsics, rng)
+            tgt, refs = imgs[0], imgs[1:]
+        return {
+            "tgt": np.asarray(tgt, np.float32),
+            "refs": np.stack(refs).astype(np.float32),
+            "intrinsics": intrinsics.astype(np.float32),
+            "intrinsics_inv": np.linalg.inv(intrinsics).astype(np.float32),
+        }
+
+    def __len__(self):
+        return len(self.samples)

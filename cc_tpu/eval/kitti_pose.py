@@ -1,0 +1,86 @@
+"""KITTI odometry pose-eval framework (5-frame snippets, ATE/RE).
+
+Parity: kitti_eval/pose_evaluation_utils.py + test_pose.py:107-122.
+"""
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+
+class KittiOdomFramework:
+    def __init__(self, root: str, sequence_set, seq_length: int = 3,
+                 step: int = 1):
+        self.root = root
+        demi = (seq_length - 1) // 2
+        shift_range = np.array([step * i for i in
+                                range(-demi, demi + 1)]).reshape(1, -1)
+        self.sequences = []
+        seq_dirs = set()
+        for seq in sequence_set:
+            seq_dirs |= set(glob.glob(os.path.join(root, "sequences", seq)))
+        for seq_dir in sorted(seq_dirs):
+            name = os.path.basename(seq_dir)
+            poses = np.genfromtxt(
+                os.path.join(root, "poses", f"{name}.txt")
+            ).astype(np.float64).reshape(-1, 3, 4)
+            imgs = sorted(glob.glob(os.path.join(seq_dir, "image_2",
+                                                 "*.png")))
+            tgt = np.arange(demi, len(imgs) - demi).reshape(-1, 1)
+            self.sequences.append((imgs, poses, shift_range + tgt))
+
+    def __len__(self):
+        return sum(len(idx) for _, _, idx in self.sequences)
+
+    def __iter__(self):
+        from cc_tpu.data.sequence_folders import load_image
+        for imgs, poses, indices in self.sequences:
+            for snippet in indices:
+                frames = [load_image(imgs[i]) for i in snippet]
+                p = np.stack([poses[i] for i in snippet])
+                first = p[0]
+                p[:, :, -1] -= first[:, -1]
+                compensated = np.linalg.inv(first[:, :3]) @ p
+                yield {"imgs": frames, "path": imgs[snippet[0]],
+                       "poses": compensated}
+
+
+def compute_pose_error(gt, pred):
+    """(ATE, RE) for a snippet (test_pose.py:107-122): scale-aligned
+    translation error + rotation geodesic."""
+    snippet_length = gt.shape[0]
+    scale = np.sum(gt[:, :, -1] * pred[:, :, -1]) / np.sum(
+        pred[:, :, -1] ** 2)
+    ate = np.linalg.norm((gt[:, :, -1] - scale * pred[:, :, -1]).reshape(-1))
+    re = 0.0
+    for gt_pose, pred_pose in zip(gt, pred):
+        r = gt_pose[:, :3] @ np.linalg.inv(pred_pose[:, :3])
+        s = np.linalg.norm([r[0, 1] - r[1, 0], r[1, 2] - r[2, 1],
+                            r[0, 2] - r[2, 0]])
+        c = np.trace(r) - 1
+        re += np.arctan2(s, c)
+    return ate / snippet_length, re / snippet_length
+
+
+def snippet_poses_from_prediction(poses_6dof, rotation_mode="euler"):
+    """[seq_len-1, 6] net output -> [seq_len, 3, 4] global snippet poses
+    (test_pose.py:74-86): insert identity mid-frame, invert, chain to the
+    first frame."""
+    import jax.numpy as jnp
+    from cc_tpu.geometry import pose_vec2mat
+
+    n = poses_6dof.shape[0]
+    mid = n // 2
+    full = np.concatenate([poses_6dof[:mid], np.zeros((1, 6), np.float32),
+                           poses_6dof[mid:]])
+    inv_tm = np.asarray(pose_vec2mat(jnp.asarray(full), rotation_mode)
+                        ).astype(np.float64)
+    rot = np.linalg.inv(inv_tm[:, :, :3])
+    tr = -rot @ inv_tm[:, :, -1:]
+    tm = np.concatenate([rot, tr], axis=-1)
+    first_inv = inv_tm[0]
+    final = first_inv[:, :3] @ tm
+    final[:, :, -1:] += first_inv[:, -1:]
+    return final

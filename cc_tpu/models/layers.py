@@ -1,0 +1,175 @@
+"""Shared Flax building blocks with exact torch layer-geometry parity.
+
+The reference nets use torch Conv2d/ConvTranspose2d with symmetric explicit
+padding; torch's shapes differ from XLA 'SAME' padding for strided convs, so
+every layer here uses explicit (lo, hi) padding. ConvTranspose2d is realized
+as an input-dilated conv (lhs_dilation) with padding (k-1-p, k-1-p+op) —
+bit-compatible with torch for any (k, s, p, output_padding) and importable
+from torch checkpoints by a spatial flip + [I,O,kh,kw]->[kh,kw,I,O] transpose.
+
+All modules are NHWC.
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+xavier_uniform = nn.initializers.xavier_uniform()
+
+
+def uniform01(key, shape, dtype=jnp.float32):
+    """torch init.uniform default (0,1) — used by the flow nets' bias init
+    (back2future.py:106-116, FlowNetC6.py:84-94)."""
+    return jax.random.uniform(key, shape, dtype)
+
+
+class Conv(nn.Module):
+    """torch nn.Conv2d parity: explicit symmetric padding (k-1)//2 by default."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    pad: int | None = None
+    bias_init: Callable = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x):
+        p = (self.kernel - 1) // 2 if self.pad is None else self.pad
+        return nn.Conv(
+            self.features, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            use_bias=self.use_bias,
+            kernel_init=xavier_uniform,
+            bias_init=self.bias_init,
+        )(x)
+
+
+class ConvTranspose(nn.Module):
+    """torch nn.ConvTranspose2d parity via input-dilated convolution.
+
+    out_size = (in-1)*stride - 2*padding + kernel + output_padding.
+    """
+    features: int
+    kernel: int
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 0
+    use_bias: bool = True
+    bias_init: Callable = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p, op = self.kernel, self.stride, self.padding, self.output_padding
+        kernel = self.param(
+            "kernel", xavier_uniform, (k, k, x.shape[-1], self.features))
+        pad = (k - 1 - p, k - 1 - p + op)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1, 1), padding=(pad, pad),
+            lhs_dilation=(s, s), dimension_numbers=dn)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            y = y + bias
+        return y
+
+
+class ConvReLU(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.relu(Conv(self.features, self.kernel, self.stride)(x))
+
+
+class ConvLeaky(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    slope: float = 0.1
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.leaky_relu(
+            Conv(self.features, self.kernel, self.stride)(x),
+            negative_slope=self.slope)
+
+
+class DownsampleConvBlock(nn.Module):
+    """stride-2 conv + same-size conv, both ReLU (DispNetS.py:5-11)."""
+    features: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(Conv(self.features, self.kernel, 2)(x))
+        return nn.relu(Conv(self.features, self.kernel, 1)(x))
+
+
+class UpconvReLU(nn.Module):
+    """ConvTranspose(k=3, s=2, p=1, op=1) + ReLU (DispNetS.py:28-32)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.relu(ConvTranspose(self.features, 3, 2, 1, 1)(x))
+
+
+class Upconv4ReLU(nn.Module):
+    """ConvTranspose(k=4, s=2, p=1) + ReLU (MaskNet6.py:12-16)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.relu(ConvTranspose(self.features, 4, 2, 1, 0)(x))
+
+
+class BasicBlock(nn.Module):
+    """ResNet BasicBlock, no BN in the residual path; BN only in the 1x1
+    projection shortcut (DispResNet6.py:14-60)."""
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        needs_proj = self.stride != 1 or x.shape[-1] != self.planes
+        out = nn.relu(Conv(self.planes, 3, self.stride, use_bias=False)(x))
+        out = Conv(self.planes, 3, 1, use_bias=False)(out)
+        residual = x
+        if needs_proj:
+            residual = Conv(self.planes, 1, self.stride, use_bias=False,
+                            pad=0)(x)
+            residual = nn.BatchNorm(
+                use_running_average=not training, momentum=0.9, epsilon=1e-5,
+            )(residual)
+        return nn.relu(out + residual)
+
+
+class ResLayer(nn.Module):
+    """Stack of BasicBlocks, first carries the stride (DispResNet6.py:45-60)."""
+    planes: int
+    blocks: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        x = BasicBlock(self.planes, self.stride)(x, training)
+        for _ in range(1, self.blocks):
+            x = BasicBlock(self.planes, 1)(x, training)
+        return x
+
+
+def crop_like(x: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    """Crop spatial dims of x down to ref's (DispNetS.py:35-37)."""
+    assert x.shape[1] >= ref.shape[1] and x.shape[2] >= ref.shape[2]
+    return x[:, : ref.shape[1], : ref.shape[2], :]
+
+
+def cat(tensors: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    return jnp.concatenate(tensors, axis=-1)

@@ -1,0 +1,42 @@
+"""Device-mesh data parallelism — the TPU-native replacement for the
+reference's torch.nn.DataParallel (train.py:300-303).
+
+Design (SURVEY.md §2.8 / §5.8): a 1-D mesh over all local devices with the
+batch sharded on the 'data' axis and parameters replicated. Under jit with
+these shardings, XLA inserts the gradient all-reduce over ICI automatically.
+The same mesh abstraction scales unchanged from 1 chip to a pod slice
+(multi-host would only add jax.distributed.initialize at startup).
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over local devices (or the first n)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the mesh."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully replicated (parameters, optimizer state, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch (pytree of arrays) sharded on the batch axis."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)

@@ -1,0 +1,213 @@
+"""The fused Competitive-Collaboration train step.
+
+The entire reference inner-loop body (train.py:445-568: 4 forwards, 5
+losses, backward, Adam) becomes ONE jitted, donated function — the region
+the ≥5x/chip throughput target rides on (SURVEY.md §3.1).
+
+CC alternation: frozen nets (--fix-* flags) get (a) stop_gradient on their
+outputs — the exact equivalent of requires_grad=False since no net consumes
+another net's outputs, so every gradient path through a net's outputs ends
+at its own params — XLA then dead-code-eliminates the whole frozen backward;
+and (b) optax.multi_transform zero-updates so Adam moments stay intact.
+
+Batch layout: {'tgt': [B,H,W,3], 'refs': [B,nref,H,W,3],
+'intrinsics': [B,3,3], 'intrinsics_inv': [B,3,3]} — NHWC, (0.5,0.5) or
+locally normalized images.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cc_tpu.geometry import pose2flow
+from cc_tpu.losses import (
+    consensus_depth_flow_mask, consensus_exp_masks,
+    compute_joint_mask_for_depth, edge_aware_smoothness_loss,
+    explainability_loss, photometric_flow_loss,
+    photometric_reconstruction_loss, smooth_loss, spatial_normalize,
+)
+from cc_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from cc_tpu.train.config import TrainConfig
+from cc_tpu.train.state import CCModels, TrainState, apply_net, make_optimizer
+
+sg = jax.lax.stop_gradient
+
+
+def _maybe_sg(tree, frozen: bool):
+    return jax.tree_util.tree_map(sg, tree) if frozen else tree
+
+
+def forward_all(cfg: TrainConfig, mods: CCModels, params, batch_stats, batch,
+                training: bool = True):
+    """Run all four nets; returns (outputs dict, new_batch_stats)."""
+    tgt = batch["tgt"]
+    refs = [batch["refs"][:, i] for i in range(batch["refs"].shape[1])]
+
+    disparities, bs_disp = apply_net(mods.disp, params["disp"],
+                                     batch_stats["disp"], tgt,
+                                     training=training)
+    pose, bs_pose = apply_net(mods.pose, params["pose"], batch_stats["pose"],
+                              tgt, refs, training=training)
+    exp_masks, bs_mask = apply_net(mods.mask, params["mask"],
+                                   batch_stats["mask"], tgt, refs,
+                                   training=training)
+    if cfg.flownet == "Back2Future":
+        (flow_fwd, flow_bwd, occ), bs_flow = apply_net(
+            mods.flow, params["flow"], batch_stats["flow"], tgt, refs[1:3],
+            training=training)
+    else:
+        flow_fwd, bs_flow = apply_net(mods.flow, params["flow"],
+                                      batch_stats["flow"], tgt, refs[2],
+                                      training=training)
+        flow_bwd, _ = apply_net(mods.flow, params["flow"],
+                                batch_stats["flow"], tgt, refs[1],
+                                training=training)
+        occ = None
+
+    if training:
+        disparities = list(disparities)
+        exp_masks = list(exp_masks)
+        flow_fwd = list(flow_fwd) if isinstance(flow_fwd, (list, tuple)) else flow_fwd
+        flow_bwd = list(flow_bwd) if isinstance(flow_bwd, (list, tuple)) else flow_bwd
+
+    outputs = dict(disparities=disparities, pose=pose, exp_masks=exp_masks,
+                   flow_fwd=flow_fwd, flow_bwd=flow_bwd, occ=occ, refs=refs,
+                   tgt=tgt)
+    new_bs = {"disp": bs_disp, "pose": bs_pose, "mask": bs_mask,
+              "flow": bs_flow}
+    return outputs, new_bs
+
+
+def compute_losses(cfg: TrainConfig, outputs, batch):
+    """The 5 CC losses (train.py:468-509), given the nets' outputs."""
+    tgt = outputs["tgt"]
+    refs = outputs["refs"]
+    K, K_inv = batch["intrinsics"], batch["intrinsics_inv"]
+
+    disparities = outputs["disparities"]
+    if cfg.spatial_normalize:
+        disparities = [spatial_normalize(d) for d in disparities]
+    depth = [1.0 / d for d in disparities]
+    pose = outputs["pose"]
+    exp_masks = outputs["exp_masks"]
+    flow_fwd, flow_bwd = outputs["flow_fwd"], outputs["flow_bwd"]
+
+    # freezing == requires_grad=False (see module docstring)
+    depth = _maybe_sg(depth, cfg.fix_dispnet)
+    pose = _maybe_sg(pose, cfg.fix_posenet)
+    exp_masks = _maybe_sg(exp_masks, cfg.fix_masknet)
+    flow_fwd = _maybe_sg(flow_fwd, cfg.fix_flownet)
+    flow_bwd = _maybe_sg(flow_bwd, cfg.fix_flownet)
+
+    flows_cam_fwd = [pose2flow(d[..., 0], pose[:, 2], K, K_inv,
+                               cfg.rotation_mode) for d in depth]
+    flows_cam_bwd = [pose2flow(d[..., 0], pose[:, 1], K, K_inv,
+                               cfg.rotation_mode) for d in depth]
+
+    exp_masks_target = consensus_exp_masks(
+        flows_cam_fwd, flows_cam_bwd, flow_fwd, flow_bwd, tgt, refs[2],
+        refs[1], wssim=cfg.wssim, wrig=cfg.wrig, ws=cfg.smooth_loss_weight)
+
+    rigidity_fwd = [jnp.abs(fc - f) for fc, f in zip(flows_cam_fwd, flow_fwd)]
+    rigidity_bwd = [jnp.abs(fc - f) for fc, f in zip(flows_cam_bwd, flow_bwd)]
+
+    if cfg.joint_mask_for_depth:
+        exp_for_depth = compute_joint_mask_for_depth(
+            exp_masks, rigidity_bwd, rigidity_fwd, cfg.THRESH)
+    else:
+        exp_for_depth = exp_masks
+
+    if cfg.no_non_rigid_mask:
+        flow_exp_mask = None
+    else:
+        flow_exp_mask = [1.0 - m[..., 1:3] for m in exp_masks]
+
+    w1 = cfg.cam_photo_loss_weight
+    w2 = cfg.mask_loss_weight
+    w3 = cfg.smooth_loss_weight
+    w4 = cfg.flow_photo_loss_weight
+    w5 = cfg.consensus_loss_weight
+
+    loss1 = photometric_reconstruction_loss(
+        tgt, refs, K, K_inv, depth, exp_for_depth, pose,
+        rotation_mode=cfg.rotation_mode, padding_mode=cfg.padding_mode,
+        lambda_oob=cfg.lambda_oob, qch=cfg.qch, wssim=cfg.wssim)
+
+    loss2 = explainability_loss(exp_masks) if w2 > 0 else jnp.zeros(())
+
+    if cfg.smoothness_type == "regular":
+        loss3 = (smooth_loss(depth) + smooth_loss(flow_fwd)
+                 + smooth_loss(flow_bwd) + smooth_loss(exp_masks))
+    else:
+        loss3 = (edge_aware_smoothness_loss(tgt, depth)
+                 + edge_aware_smoothness_loss(tgt, flow_fwd)
+                 + edge_aware_smoothness_loss(tgt, flow_bwd)
+                 + edge_aware_smoothness_loss(tgt, exp_masks))
+
+    loss4 = photometric_flow_loss(
+        tgt, refs[1:3], [flow_bwd, flow_fwd], flow_exp_mask,
+        lambda_oob=cfg.lambda_oob, qch=cfg.qch, wssim=cfg.wssim)
+
+    loss5 = consensus_depth_flow_mask(
+        exp_masks, rigidity_bwd, rigidity_fwd, exp_masks_target,
+        exp_masks_target, THRESH=cfg.THRESH, wbce=cfg.wbce)
+
+    total = w1 * loss1 + w2 * loss2 + w3 * loss3 + w4 * loss4 + w5 * loss5
+    metrics = {"loss": total, "photo_cam_loss": loss1,
+               "explainability_loss": loss2, "smooth_loss": loss3,
+               "photo_flow_loss": loss4, "consensus_loss": loss5}
+    return total, metrics
+
+
+def build_train_step(cfg: TrainConfig, mods: CCModels, mesh=None,
+                     donate: bool = True):
+    """Returns jitted (state, batch) -> (state, metrics)."""
+    optimizer = make_optimizer(cfg)
+
+    def loss_fn(params, batch_stats, batch):
+        outputs, new_bs = forward_all(cfg, mods, params, batch_stats, batch)
+        total, metrics = compute_losses(cfg, outputs, batch)
+        return total, (metrics, new_bs)
+
+    def step(state: TrainState, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, batch)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(params=new_params, batch_stats=new_bs,
+                          opt_state=new_opt, step=state.step + 1), metrics
+
+    kwargs = {}
+    if mesh is not None:
+        repl = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        kwargs = dict(in_shardings=(repl, data),
+                      out_shardings=(repl, repl))
+    return jax.jit(step, donate_argnums=(0,) if donate else (), **kwargs)
+
+
+def build_forward_eval(cfg: TrainConfig, mods: CCModels, mesh=None):
+    """Jitted eval-mode 4-net forward: finest-scale outputs only
+    (the validate_flow_with_gt forward, train.py:665-677)."""
+
+    def fwd(params, batch_stats, batch):
+        outputs, _ = forward_all(cfg, mods, params, batch_stats, batch,
+                                 training=False)
+        disp = outputs["disparities"]
+        if cfg.spatial_normalize:
+            disp = spatial_normalize(disp)
+        return {
+            "disp": disp, "depth": 1.0 / disp, "pose": outputs["pose"],
+            "exp_mask": outputs["exp_masks"], "flow_fwd": outputs["flow_fwd"],
+            "flow_bwd": outputs["flow_bwd"], "occ": outputs["occ"],
+        }
+
+    kwargs = {}
+    if mesh is not None:
+        repl = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        kwargs = dict(in_shardings=(repl, repl, data), out_shardings=data)
+    return jax.jit(fwd, **kwargs)

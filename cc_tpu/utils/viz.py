@@ -1,0 +1,122 @@
+"""Visualization: colormapped scalar maps + Middlebury flow color wheel.
+
+Parity: utils.py:8-53 (tensor2array with rainbow/magma/bone colormaps) and
+flowutils/flowlib.py:189-226, 345-437 (flow_to_image). Host-side numpy;
+arrays are NHWC (or HW / HW2).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _opencv_rainbow_cmap(n: int = 1000) -> np.ndarray:
+    """[n, 3] lookup approximating OpenCV's Rainbow (utils.py:19-29)."""
+    stops = np.array([0.0, 0.4, 0.6, 0.8, 1.0])
+    colors = np.array([
+        (1.0, 0.0, 0.0), (1.0, 1.0, 0.0), (0.0, 1.0, 0.0),
+        (0.0, 0.0, 1.0), (0.6, 0.0, 1.0)])
+    x = np.linspace(0, 1, n)
+    return np.stack([np.interp(x, stops, colors[:, c]) for c in range(3)],
+                    axis=1)
+
+
+def _matplotlib_cmap(name: str, n: int = 1000) -> np.ndarray:
+    import matplotlib
+    cmap = matplotlib.colormaps[name]
+    return cmap(np.linspace(0, 1, n))[:, :3]
+
+
+_CMAPS: dict = {}
+
+
+def _get_cmap(name: str) -> np.ndarray:
+    if name not in _CMAPS:
+        if name == "rainbow":
+            _CMAPS[name] = _opencv_rainbow_cmap()
+        else:
+            _CMAPS[name] = _matplotlib_cmap(name)
+    return _CMAPS[name]
+
+
+def scalar_to_rgb(array: np.ndarray, max_value=None,
+                  colormap: str = "rainbow") -> np.ndarray:
+    """HW scalar map -> HW3 float RGB via a colormap (tensor2array parity
+    for 1-channel inputs; returns HWC rather than CHW)."""
+    array = np.asarray(array, np.float32)
+    array = np.squeeze(array)
+    if max_value is None:
+        max_value = float(array.max()) or 1.0
+    cmap = _get_cmap(colormap)
+    idx = np.clip((array / max_value) * (len(cmap) - 1), 0,
+                  len(cmap) - 1).astype(np.int32)
+    return cmap[idx].astype(np.float32)
+
+
+def image_to_display(img: np.ndarray) -> np.ndarray:
+    """(0.5,0.5)-normalized HWC image -> [0,1] RGB (tensor2array parity)."""
+    return 0.5 + np.asarray(img, np.float32) * 0.5
+
+
+def _make_color_wheel() -> np.ndarray:
+    """Middlebury color wheel [55, 3] (flowlib.py:345-397)."""
+    RY, YG, GC, CB, BM, MR = 15, 6, 4, 11, 13, 6
+    wheel = np.zeros((RY + YG + GC + CB + BM + MR, 3))
+    col = 0
+    wheel[:RY, 0] = 255
+    wheel[:RY, 1] = np.floor(255 * np.arange(RY) / RY)
+    col += RY
+    wheel[col:col + YG, 0] = 255 - np.floor(255 * np.arange(YG) / YG)
+    wheel[col:col + YG, 1] = 255
+    col += YG
+    wheel[col:col + GC, 1] = 255
+    wheel[col:col + GC, 2] = np.floor(255 * np.arange(GC) / GC)
+    col += GC
+    wheel[col:col + CB, 1] = 255 - np.floor(255 * np.arange(CB) / CB)
+    wheel[col:col + CB, 2] = 255
+    col += CB
+    wheel[col:col + BM, 2] = 255
+    wheel[col:col + BM, 0] = np.floor(255 * np.arange(BM) / BM)
+    col += BM
+    wheel[col:col + MR, 2] = 255 - np.floor(255 * np.arange(MR) / MR)
+    wheel[col:col + MR, 0] = 255
+    return wheel
+
+
+_WHEEL = _make_color_wheel()
+_UNKNOWN_FLOW_THRESH = 1e7
+
+
+def flow_to_image(flow: np.ndarray) -> np.ndarray:
+    """HW2 (or HW3 with validity) flow -> HW3 uint8 Middlebury colorization
+    (flowlib.py:189-226 + compute_color 400-437)."""
+    flow = np.asarray(flow, np.float32)
+    u, v = flow[..., 0].copy(), flow[..., 1].copy()
+
+    idx_unknown = (np.abs(u) > _UNKNOWN_FLOW_THRESH) | (
+        np.abs(v) > _UNKNOWN_FLOW_THRESH)
+    u[idx_unknown] = 0
+    v[idx_unknown] = 0
+
+    rad = np.sqrt(u ** 2 + v ** 2)
+    maxrad = max(-1.0, float(rad.max()))
+    u = u / (maxrad + np.finfo(np.float32).eps)
+    v = v / (maxrad + np.finfo(np.float32).eps)
+
+    rad = np.sqrt(u ** 2 + v ** 2)
+    a = np.arctan2(-v, -u) / np.pi
+    ncols = len(_WHEEL)
+    fk = (a + 1) / 2 * (ncols - 1)
+    k0 = np.floor(fk).astype(np.int32)
+    k1 = (k0 + 1) % ncols
+    f = fk - k0
+
+    img = np.zeros(u.shape + (3,), np.uint8)
+    for c in range(3):
+        col0 = _WHEEL[k0, c] / 255.0
+        col1 = _WHEEL[k1, c] / 255.0
+        col = (1 - f) * col0 + f * col1
+        inside = rad <= 1
+        col[inside] = 1 - rad[inside] * (1 - col[inside])
+        col[~inside] *= 0.75
+        img[..., c] = np.uint8(np.floor(255 * col * (~idx_unknown)))
+    return img

@@ -17,3 +17,7 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache: the big jitted graphs (models, train step)
+# compile once per machine instead of once per pytest run.
+jax.config.update("jax_compilation_cache_dir", "/tmp/cc_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -49,6 +49,7 @@ def load_reference():
         F.grid_sample = grid_sample_ac_true
         _patched = True
 
+    _install_correlation_shim()
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)
     import inverse_warp as ref_inverse_warp  # noqa: F401
@@ -56,6 +57,40 @@ def load_reference():
     import ssim as ref_ssim  # noqa: F401
 
     return ref_inverse_warp, ref_loss_functions, ref_ssim
+
+
+def _install_correlation_shim():
+    """The reference's flow nets import the native-CUDA
+    `spatial_correlation_sampler` package (absent here). Provide a pure-torch
+    CPU equivalent (kernel_size=1, stride=1 semantics: channel-summed local
+    correlation, [b, ph, pw, h, w] output) so they can serve as test oracles.
+    """
+    import sys
+    import types
+
+    if "spatial_correlation_sampler" in sys.modules:
+        return
+    import torch
+    import torch.nn.functional as F
+
+    def spatial_correlation_sample(input1, input2, kernel_size=1,
+                                   patch_size=9, stride=1, padding=0,
+                                   dilation_patch=1):
+        assert kernel_size == 1 and stride == 1 and padding == 0
+        b, c, h, w = input1.shape
+        r = (patch_size // 2) * dilation_patch
+        pad2 = F.pad(input2, (r, r, r, r))
+        out = input1.new_zeros(b, patch_size, patch_size, h, w)
+        for pi in range(patch_size):
+            for pj in range(patch_size):
+                oy, ox = pi * dilation_patch, pj * dilation_patch
+                out[:, pi, pj] = (
+                    input1 * pad2[:, :, oy:oy + h, ox:ox + w]).sum(1)
+        return out
+
+    mod = types.ModuleType("spatial_correlation_sampler")
+    mod.spatial_correlation_sample = spatial_correlation_sample
+    sys.modules["spatial_correlation_sampler"] = mod
 
 
 def to_torch_nchw(x):
