@@ -18,6 +18,11 @@ import numpy as np
 
 
 def main():
+    # persistent compile cache: repeated bench runs skip the ~15-min compile
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/cc_tpu_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from cc_tpu.train import TrainConfig, make_models, init_state, \
         build_train_step
@@ -27,12 +32,14 @@ def main():
     w = int(os.environ.get("CC_BENCH_W", "832"))
     steps = int(os.environ.get("CC_BENCH_STEPS", "20"))
 
+    dtype = os.environ.get("CC_BENCH_DTYPE", "float32")
     cfg = TrainConfig(
         height=h, width=w, batch_size=batch_size,
         wssim=0.997, smoothness_type="edgeaware",
         mask_loss_weight=0.1, flow_photo_loss_weight=0.5,
         cam_photo_loss_weight=1.0, smooth_loss_weight=0.1,
         consensus_loss_weight=0.3, lr=1e-4,
+        compute_dtype=dtype,
     )
     mods = make_models(cfg)
     state = init_state(cfg, jax.random.PRNGKey(0))
@@ -67,7 +74,7 @@ def main():
     baseline = os.environ.get("CC_BASELINE_FPS")
     vs = frames_per_sec / float(baseline) if baseline else None
     print(json.dumps({
-        "metric": "cc_joint_train_frames_per_sec_per_chip_832x256_b4",
+        "metric": "cc_joint_train_frames_per_sec_per_chip_832x256_b4" if dtype == "float32" else f"cc_joint_train_frames_per_sec_per_chip_832x256_b4_{dtype}",
         "value": round(frames_per_sec, 3),
         "unit": "frames/s/chip",
         "vs_baseline": vs,

@@ -184,7 +184,8 @@ def main(argv=None):
     from cc_tpu.data import (DataLoader, SequenceFolder, ValidationSet,
                              device_prefetch, transforms)
     from cc_tpu.data.validation import ValidationFlow
-    from cc_tpu.parallel import make_mesh, shard_batch
+    from cc_tpu.parallel import shard_batch
+    from cc_tpu.parallel.mesh import make_mesh_for_batch
     from cc_tpu.train import (build_forward_eval, build_train_step,
                               init_state, make_models)
     from cc_tpu.train.checkpoint import load_checkpoint, save_checkpoint
@@ -239,7 +240,7 @@ def main(argv=None):
         print("=> resuming from checkpoint")
         state = load_checkpoint(save_path, state)
 
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(args.batch_size)
     print(f"=> mesh over {mesh.size} device(s); jitting train step")
     step_fn = build_train_step(cfg, mods, mesh=mesh)
     fwd_eval = build_forward_eval(cfg, mods)

@@ -25,6 +25,17 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def make_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
+    """Mesh over the largest device count that divides the global batch
+    (data parallelism requires batch % mesh size == 0)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while batch_size % n != 0:
+        n -= 1
+    return make_mesh(n, devices)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis across the mesh."""
     return NamedSharding(mesh, P(DATA_AXIS))

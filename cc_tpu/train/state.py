@@ -48,7 +48,12 @@ def make_models(cfg: TrainConfig) -> CCModels:
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """Adam matching torch semantics (L2 weight decay added to the gradient
     before the moment updates), with per-net freezing for the CC alternation
-    (the TPU-native equivalent of requires_grad=False, train.py:332-346)."""
+    (the TPU-native equivalent of requires_grad=False, train.py:332-346).
+
+    Freezing leaves the frozen nets' Adam moments AND params untouched —
+    like torch skipping grad=None params — and the optimizer state STRUCTURE
+    is identical across phases, so checkpoints resume across --fix-* changes
+    (optax.multi_transform would change the state pytree per phase)."""
     chain = []
     if cfg.weight_decay:
         chain.append(optax.add_decayed_weights(cfg.weight_decay))
@@ -60,10 +65,40 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         "disp": cfg.fix_dispnet, "pose": cfg.fix_posenet,
         "mask": cfg.fix_masknet, "flow": cfg.fix_flownet,
     }
-    labels = {k: ("freeze" if frozen[k] else "train") for k in NETS}
-    return optax.multi_transform(
-        {"train": adam, "freeze": optax.set_to_zero()},
-        param_labels=labels)
+    if not any(frozen.values()):
+        return adam
+
+    def init(params):
+        return adam.init(params)
+
+    def update(grads, state, params=None):
+        updates, new_state = adam.update(grads, state, params)
+        updates = {
+            k: (jax.tree_util.tree_map(jnp.zeros_like, updates[k])
+                if frozen[k] else updates[k])
+            for k in updates
+        }
+
+        def keep_frozen(old_leaf_tree, new_leaf_tree):
+            """Per-net moment surgery: frozen nets keep their old state."""
+            if not isinstance(old_leaf_tree, dict):
+                return new_leaf_tree
+            if set(old_leaf_tree) != set(NETS):
+                return new_leaf_tree
+            return {k: (old_leaf_tree[k] if frozen[k] else new_leaf_tree[k])
+                    for k in old_leaf_tree}
+
+        def fix_state(old, new):
+            if isinstance(new, optax.ScaleByAdamState):
+                return new._replace(mu=keep_frozen(old.mu, new.mu),
+                                    nu=keep_frozen(old.nu, new.nu))
+            if isinstance(new, tuple) and not hasattr(new, "_fields"):
+                return tuple(fix_state(o, n) for o, n in zip(old, new))
+            return new
+
+        return updates, fix_state(state, new_state)
+
+    return optax.GradientTransformation(init, update)
 
 
 def init_state(cfg: TrainConfig, key: jax.Array,
@@ -104,14 +139,39 @@ def init_state(cfg: TrainConfig, key: jax.Array,
                       opt_state=opt_state, step=jnp.zeros((), jnp.int32))
 
 
-def apply_net(net, params, batch_stats, *args, training: bool):
+def _cast_floats(tree, dtype):
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree_util.tree_map(cast, tree)
+
+
+def apply_net(net, params, batch_stats, *args, training: bool,
+              compute_dtype: str = "float32"):
     """Apply a flax module, threading batch_stats only when present.
-    Returns (outputs, new_batch_stats)."""
+    Returns (outputs, new_batch_stats).
+
+    compute_dtype='bfloat16' runs the NET in bf16 (params, inputs,
+    activations cast down; outputs and mutated batch_stats cast back to
+    fp32) — master params stay fp32 and the loss graph stays fp32, the
+    standard TPU mixed-precision recipe."""
+    bf16 = compute_dtype == "bfloat16"
+    if bf16:
+        params = _cast_floats(params, jnp.bfloat16)
+        args = _cast_floats(args, jnp.bfloat16)
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
     if training:
         out, mutated = net.apply(variables, *args, training=True,
                                  mutable=["batch_stats"])
-        return out, mutated.get("batch_stats", {})
-    return net.apply(variables, *args, training=False), batch_stats
+        new_bs = mutated.get("batch_stats", {})
+        if bf16:
+            out = _cast_floats(out, jnp.float32)
+            new_bs = _cast_floats(new_bs, jnp.float32)
+        return out, new_bs
+    out = net.apply(variables, *args, training=False)
+    if bf16:
+        out = _cast_floats(out, jnp.float32)
+    return out, batch_stats

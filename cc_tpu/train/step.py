@@ -44,25 +44,26 @@ def forward_all(cfg: TrainConfig, mods: CCModels, params, batch_stats, batch,
     tgt = batch["tgt"]
     refs = [batch["refs"][:, i] for i in range(batch["refs"].shape[1])]
 
+    dt = cfg.compute_dtype
     disparities, bs_disp = apply_net(mods.disp, params["disp"],
                                      batch_stats["disp"], tgt,
-                                     training=training)
+                                     training=training, compute_dtype=dt)
     pose, bs_pose = apply_net(mods.pose, params["pose"], batch_stats["pose"],
-                              tgt, refs, training=training)
+                              tgt, refs, training=training, compute_dtype=dt)
     exp_masks, bs_mask = apply_net(mods.mask, params["mask"],
                                    batch_stats["mask"], tgt, refs,
-                                   training=training)
+                                   training=training, compute_dtype=dt)
     if cfg.flownet == "Back2Future":
         (flow_fwd, flow_bwd, occ), bs_flow = apply_net(
             mods.flow, params["flow"], batch_stats["flow"], tgt, refs[1:3],
-            training=training)
+            training=training, compute_dtype=dt)
     else:
         flow_fwd, bs_flow = apply_net(mods.flow, params["flow"],
                                       batch_stats["flow"], tgt, refs[2],
-                                      training=training)
+                                      training=training, compute_dtype=dt)
         flow_bwd, _ = apply_net(mods.flow, params["flow"],
                                 batch_stats["flow"], tgt, refs[1],
-                                training=training)
+                                training=training, compute_dtype=dt)
         occ = None
 
     if training:

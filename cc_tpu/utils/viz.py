@@ -86,6 +86,32 @@ _WHEEL = _make_color_wheel()
 _UNKNOWN_FLOW_THRESH = 1e7
 
 
+def flow_to_image_logscale(flow: np.ndarray, scaledown: float = 6.0
+                           ) -> np.ndarray:
+    """Alternative log-scale flow colorization
+    (parity: flowutils/flow_viz.py:12-55). HW2 -> HW3 uint8."""
+    flow = np.asarray(flow, np.float32)
+    u, v = flow[..., 0], flow[..., 1]
+    radius = np.log(np.sqrt(u ** 2 + v ** 2) + 1.0) / scaledown
+    a = np.arctan2(-v, -u) / np.pi
+    ncols = len(_WHEEL)
+    fk = (a + 1) / 2 * (ncols - 1)
+    k0 = fk.astype(np.int32)
+    k1 = (k0 + 1) % ncols
+    f = fk - k0
+
+    img = np.zeros(u.shape + (3,), np.uint8)
+    for c in range(3):
+        col0 = _WHEEL[k0, c] / 255.0
+        col1 = _WHEEL[k1, c] / 255.0
+        col = (1 - f) * col0 + f * col1
+        inside = radius <= 1
+        col[inside] = 1 - radius[inside] * (1 - col[inside])
+        col[~inside] *= 0.75
+        img[..., c] = np.floor(255 * col).astype(np.uint8)
+    return img
+
+
 def flow_to_image(flow: np.ndarray) -> np.ndarray:
     """HW2 (or HW3 with validity) flow -> HW3 uint8 Middlebury colorization
     (flowlib.py:189-226 + compute_color 400-437)."""

@@ -1,23 +1,24 @@
-"""Test configuration: force an 8-device virtual CPU platform.
+"""Test configuration: force an 8-device local-CPU platform.
 
 Tests never require real TPU hardware. Sharding/pjit tests use an 8-device
 CPU mesh (the idiomatic "multi-chip without a cluster" substitute, see
-SURVEY.md §4e). Must run before jax initializes its backends.
+SURVEY.md §4e).
+
+NOTE: this environment's sitecustomize registers a remote-TPU ("axon") PJRT
+plugin in every process and pins jax_platforms='axon,cpu' via jax.config —
+env vars (JAX_PLATFORMS/XLA_FLAGS) do NOT override that, only an explicit
+config update does. jax_num_cpu_devices is the jax>=0.5 replacement for
+--xla_force_host_platform_device_count.
 """
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: the big jitted graphs (models, train step)
-# compile once per machine instead of once per pytest run.
-jax.config.update("jax_compilation_cache_dir", "/tmp/cc_tpu_jax_cache")
+# compile once per machine instead of once per pytest run. NOTE: must NOT
+# share a dir with axon/TPU runs — the axon remote-compile helper writes
+# CPU AOT entries for a different machine profile (mismatched CPU features
+# stall collectives until XLA's stuck-check aborts the process).
+jax.config.update("jax_compilation_cache_dir", "/tmp/cc_tpu_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -123,6 +123,9 @@ class TestParamCountParity:
 
     def _ref_count(self, name, **kw):
         import sys
+        from tests.ref_compat import _install_correlation_shim
+        _install_correlation_shim()  # reference models/__init__ imports the
+        # native spatial_correlation_sampler package unconditionally
         sys.path.insert(0, "/root/reference")
         import models as ref_models
         net = getattr(ref_models, name)(**kw)

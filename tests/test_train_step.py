@@ -105,30 +105,50 @@ class TestTrainStep:
 
 
 class TestMeshParallel:
-    def test_data_parallel_step(self, cfg):
+    # Small config: 8 device threads share ONE core in CI; a heavy step
+    # risks XLA's CPU-collective rendezvous hard timeout (SIGABRT).
+    # edgeaware smoothness is 1st-order, valid at 64x64 (/32 scale = 2px).
+    @pytest.fixture(scope="class")
+    def mesh_cfg(self):
+        return tiny_config(height=64, width=64,
+                           smoothness_type="edgeaware")
+
+    def mesh_batch(self, cfg, b):
+        r = np.random.RandomState(0)
+        h, w = cfg.height, cfg.width
+        k = np.array([[w, 0, w / 2], [0, h, h / 2], [0, 0, 1]],
+                     dtype=np.float32)[None].repeat(b, 0)
+        return {
+            "tgt": jnp.asarray(r.rand(b, h, w, 3).astype(np.float32)),
+            "refs": jnp.asarray(r.rand(b, 4, h, w, 3).astype(np.float32)),
+            "intrinsics": jnp.asarray(k),
+            "intrinsics_inv": jnp.asarray(np.linalg.inv(k)),
+        }
+
+    def test_data_parallel_step(self, mesh_cfg):
         mesh = make_mesh()
         assert mesh.size == 8, "conftest must provide 8 virtual devices"
-        mods = make_models(cfg)
-        state = init_state(cfg, jax.random.PRNGKey(0))
-        step = build_train_step(cfg, mods, mesh=mesh, donate=False)
-        batch = shard_batch(synth_batch(cfg, b=8), mesh)
+        mods = make_models(mesh_cfg)
+        state = init_state(mesh_cfg, jax.random.PRNGKey(0))
+        step = build_train_step(mesh_cfg, mods, mesh=mesh, donate=False)
+        batch = shard_batch(self.mesh_batch(mesh_cfg, 8), mesh)
         new_state, metrics = step(state, batch)
         assert np.isfinite(float(metrics["loss"]))
         # params remain replicated
         leaf = jax.tree_util.tree_leaves(new_state.params)[0]
         assert leaf.sharding.is_fully_replicated
 
-    def test_dp_matches_single_device(self, cfg):
+    def test_dp_matches_single_device(self, mesh_cfg):
         """Sharded step == unsharded step on the same batch (same math)."""
-        mods = make_models(cfg)
-        state = init_state(cfg, jax.random.PRNGKey(0))
-        batch = synth_batch(cfg, b=8)
+        mods = make_models(mesh_cfg)
+        state = init_state(mesh_cfg, jax.random.PRNGKey(0))
+        batch = self.mesh_batch(mesh_cfg, 8)
 
-        step1 = build_train_step(cfg, mods, donate=False)
+        step1 = build_train_step(mesh_cfg, mods, donate=False)
         s1, m1 = step1(state, batch)
 
         mesh = make_mesh()
-        step8 = build_train_step(cfg, mods, mesh=mesh, donate=False)
+        step8 = build_train_step(mesh_cfg, mods, mesh=mesh, donate=False)
         s8, m8 = step8(state, shard_batch(batch, mesh))
         assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-4
         d1 = jax.tree_util.tree_leaves(s1.params["disp"])[0]
