@@ -141,11 +141,13 @@ def validate_depth(cfg, mods, state, val_loader, fwd_disp):
     return errors.avg, ["abs_diff", "abs_rel", "sq_rel", "a1", "a2", "a3"]
 
 
-def validate_flow(cfg, mods, state, val_loader, fwd_eval):
+def validate_flow(cfg, mods, state, val_loader, fwd_eval,
+                  output_writers=None, epoch=0):
     """Flow validation (train.py:638-777): 8 EPE/outlier metrics with
-    predicted and GT rigidity masks."""
+    predicted and GT rigidity masks; optional image logging to the
+    --log-output writers (train.py:703-744)."""
     import jax.numpy as jnp
-    from cc_tpu.eval.composite import rigidity_masks
+    from cc_tpu.eval.composite import composite_flow, rigidity_masks
     from cc_tpu.geometry import pose2flow
     from cc_tpu.losses import compute_all_epes
     from cc_tpu.utils.logging import AverageMeter
@@ -154,7 +156,7 @@ def validate_flow(cfg, mods, state, val_loader, fwd_eval):
              "epe_total_with_gt_mask", "epe_rigid_with_gt_mask",
              "epe_non_rigid_with_gt_mask", "outliers_gt_mask"]
     errors = AverageMeter(i=len(names))
-    for batch in val_loader:
+    for i, batch in enumerate(val_loader):
         out = fwd_eval(state.params, state.batch_stats, {
             "tgt": batch["tgt"], "refs": batch["refs"],
             "intrinsics": batch["intrinsics"],
@@ -172,6 +174,20 @@ def validate_flow(cfg, mods, state, val_loader, fwd_eval):
         e += compute_all_epes(flow_gt, flow_cam, out["flow_fwd"],
                               1.0 - obj_map, THRESH=cfg.THRESH)
         errors.update(e)
+
+        if output_writers and i % 10 == 0 and i // 10 < len(output_writers):
+            from cc_tpu.utils.viz import (flow_to_image, image_to_display,
+                                          scalar_to_rgb)
+            w = output_writers[i // 10]
+            total, _ = composite_flow(flow_cam, out["flow_fwd"],
+                                      out["exp_mask"], cfg.THRESH)
+            w.add_image("val flow Input",
+                        image_to_display(np.asarray(batch["tgt"])[0]), epoch)
+            w.add_image("val Total Flow Output",
+                        flow_to_image(np.asarray(total)[0]) / 255.0, epoch)
+            w.add_image("val Rigidity Mask Combined",
+                        scalar_to_rgb(np.asarray(combined)[0, ..., 0],
+                                      max_value=1, colormap="bone"), epoch)
     return errors.avg, names
 
 
@@ -254,6 +270,11 @@ def main(argv=None):
     fwd_disp = jax.jit(fwd_disp)
 
     writer = SummaryLogger(save_path)
+    output_writers = []
+    if args.log_output:  # 3 extra valid/N writers (train.py:157-160)
+        output_writers = [SummaryLogger(os.path.join(save_path, "valid",
+                                                     str(i)))
+                          for i in range(3)]
     summary_csv = CsvLogger(os.path.join(save_path, args.log_summary),
                             ["train_loss", "validation_loss"])
     full_csv = CsvLogger(
@@ -271,6 +292,27 @@ def main(argv=None):
             if i >= epoch_size:
                 break
             state, metrics = step_fn(state, batch)
+            if (args.training_output_freq > 0
+                    and n_iter % args.training_output_freq == 0):
+                # training image logging (train.py:521-560)
+                out = fwd_eval(state.params, state.batch_stats, batch)
+                from cc_tpu.utils.viz import (flow_to_image,
+                                              image_to_display, scalar_to_rgb)
+                tgt0 = np.asarray(batch["tgt"])[0]
+                writer.add_image("train Input", image_to_display(tgt0),
+                                 n_iter)
+                writer.add_image(
+                    "train Dispnet Output Normalized",
+                    scalar_to_rgb(np.asarray(out["disp"])[0, ..., 0],
+                                  colormap="bone"), n_iter)
+                writer.add_image(
+                    "train Depth Output",
+                    scalar_to_rgb(np.asarray(out["depth"])[0, ..., 0],
+                                  max_value=10), n_iter)
+                writer.add_image(
+                    "train Non Rigid Flow Output",
+                    flow_to_image(np.asarray(out["flow_fwd"])[0]) / 255.0,
+                    n_iter)
             if i > 0 and n_iter % args.print_freq == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 losses.update(m["loss"], args.batch_size)
@@ -290,7 +332,8 @@ def main(argv=None):
         flow_errors = depth_errors = None
         if val_flow_loader is not None:
             flow_errors, flow_names = validate_flow(
-                cfg, mods, state, iter(val_flow_loader), fwd_eval)
+                cfg, mods, state, iter(val_flow_loader), fwd_eval,
+                output_writers=output_writers, epoch=epoch)
             for e, n in zip(flow_errors, flow_names):
                 writer.add_scalar(n, e, epoch)
         if val_depth_loader is not None:

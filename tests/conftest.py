@@ -10,6 +10,17 @@ env vars (JAX_PLATFORMS/XLA_FLAGS) do NOT override that, only an explicit
 config update does. jax_num_cpu_devices is the jax>=0.5 replacement for
 --xla_force_host_platform_device_count.
 """
+import os
+
+# On few-core CI hosts the N virtual devices' executions serialize; XLA's
+# CPU collective rendezvous then hits its default 40s TERMINATE timeout and
+# SIGABRTs the process. Raise it (must be in XLA_FLAGS before jax init).
+_flags = os.environ.get("XLA_FLAGS", "")
+if "collective_call_terminate" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_cpu_collective_call_terminate_timeout_seconds=3000"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300").strip()
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
