@@ -30,7 +30,7 @@ def main():
     batch_size = int(os.environ.get("CC_BENCH_BATCH", "4"))
     h = int(os.environ.get("CC_BENCH_H", "256"))
     w = int(os.environ.get("CC_BENCH_W", "832"))
-    steps = int(os.environ.get("CC_BENCH_STEPS", "20"))
+    steps = int(os.environ.get("CC_BENCH_STEPS", "50"))
 
     dtype = os.environ.get("CC_BENCH_DTYPE", "float32")
     cfg = TrainConfig(
