@@ -56,14 +56,22 @@ def consensus_exp_masks(cam_flows_fwd, cam_flows_bwd, flows_fwd, flows_bwd,
 
 
 def weighted_binary_cross_entropy(output, target, weights=None):
-    """Parity: loss_functions.py:252-261."""
+    """Parity: loss_functions.py:252-261.
+
+    The log arguments are guarded with a maximum() barrier: EPSILON=1e-8 is
+    below the fp32 ulp at 1.0, so XLA's reassociation of `1 - output + eps`
+    (legal under --xla_allow_excess_precision) can produce exact 0 when
+    `output` saturates to 1.0 -> log(0) = -inf -> 0 * -inf = NaN. torch
+    evaluates left-to-right so the reference never hits this; for any
+    output < 1 the guarded form is bit-identical to the reference's.
+    """
+    pos = jnp.log(jnp.maximum(output, 0.0) + EPSILON)
+    neg = jnp.log(jnp.maximum(1.0 - output, 0.0) + EPSILON)
     if weights is not None:
         assert len(weights) == 2
-        loss = (weights[1] * (target * jnp.log(output + EPSILON))
-                + weights[0] * ((1 - target) * jnp.log(1 - output + EPSILON)))
+        loss = weights[1] * (target * pos) + weights[0] * ((1 - target) * neg)
     else:
-        loss = (target * jnp.log(output + EPSILON)
-                + (1 - target) * jnp.log(1 - output + EPSILON))
+        loss = target * pos + (1 - target) * neg
     return -jnp.mean(loss)
 
 
