@@ -82,10 +82,10 @@ def main(argv=None):
                                                              k_inv)
         flow_gt = s["flow_gt"][None]
         obj_map = s["obj_map"][None][..., None]
-        e = compute_all_epes(flow_gt, flow_cam, flow_fwd, combined,
-                             THRESH=args.THRESH)
-        e += compute_all_epes(flow_gt, flow_cam, flow_fwd, 1.0 - obj_map,
-                              THRESH=args.THRESH)
+        # partition threshold stays at compute_all_epes' default 0.5
+        # (test_flow.py:145); args.THRESH feeds only the census mask.
+        e = compute_all_epes(flow_gt, flow_cam, flow_fwd, combined)
+        e += compute_all_epes(flow_gt, flow_cam, flow_fwd, 1.0 - obj_map)
         errors.update(e)
 
         if args.output_dir is not None:

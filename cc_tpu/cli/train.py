@@ -126,23 +126,27 @@ def config_from_args(args):
     )
 
 
-def validate_depth(cfg, mods, state, val_loader, fwd_disp):
+def validate_depth(cfg, mods, state, val_loader, fwd_disp, term_logger=None):
     """Depth validation (train.py:588-636): [abs_diff, abs_rel, sq_rel,
     a1, a2, a3]."""
     from cc_tpu.losses import compute_depth_errors
     from cc_tpu.utils.logging import AverageMeter
 
     errors = AverageMeter(i=6)
-    for batch in val_loader:
+    for i, batch in enumerate(val_loader):
         disp = fwd_disp(state.params, state.batch_stats, batch["tgt"])
         depth = 1.0 / np.asarray(disp)[..., 0]
         errors.update(compute_depth_errors(batch["depth"], depth,
                                            crop=True))
+        if term_logger is not None:
+            term_logger.valid_bar.update(i)
+    if term_logger is not None:
+        term_logger.valid_bar.finish()
     return errors.avg, ["abs_diff", "abs_rel", "sq_rel", "a1", "a2", "a3"]
 
 
 def validate_flow(cfg, mods, state, val_loader, fwd_eval,
-                  output_writers=None, epoch=0):
+                  output_writers=None, epoch=0, term_logger=None):
     """Flow validation (train.py:638-777): 8 EPE/outlier metrics with
     predicted and GT rigidity masks; optional image logging to the
     --log-output writers (train.py:703-744)."""
@@ -169,10 +173,12 @@ def validate_flow(cfg, mods, state, val_loader, fwd_eval,
                                         out["exp_mask"], cfg.THRESH)
         flow_gt = batch["flow_gt"]
         obj_map = batch["obj_map"][..., None]
-        e = compute_all_epes(flow_gt, flow_cam, out["flow_fwd"], combined,
-                             THRESH=cfg.THRESH)
+        # NB: the epe partition threshold is compute_all_epes' default 0.5
+        # (train.py:749, test_flow.py:145) — NOT cfg.THRESH, which only
+        # feeds the census/composite masks above.
+        e = compute_all_epes(flow_gt, flow_cam, out["flow_fwd"], combined)
         e += compute_all_epes(flow_gt, flow_cam, out["flow_fwd"],
-                              1.0 - obj_map, THRESH=cfg.THRESH)
+                              1.0 - obj_map)
         errors.update(e)
 
         if output_writers and i % 10 == 0 and i // 10 < len(output_writers):
@@ -188,6 +194,10 @@ def validate_flow(cfg, mods, state, val_loader, fwd_eval,
             w.add_image("val Rigidity Mask Combined",
                         scalar_to_rgb(np.asarray(combined)[0, ..., 0],
                                       max_value=1, colormap="bone"), epoch)
+        if term_logger is not None:
+            term_logger.valid_bar.update(i)
+    if term_logger is not None:
+        term_logger.valid_bar.finish()
     return errors.avg, names
 
 
@@ -207,6 +217,7 @@ def main(argv=None):
     from cc_tpu.train.checkpoint import load_checkpoint, save_checkpoint
     from cc_tpu.train.torch_import import maybe_load_torch_weights
     from cc_tpu.utils.logging import AverageMeter, CsvLogger, SummaryLogger
+    from cc_tpu.utils.term import TermLogger
 
     cfg = config_from_args(args)
     save_path = os.path.join("checkpoints", args.name)
@@ -282,10 +293,21 @@ def main(argv=None):
         ["train_loss", "photo_cam_loss", "photo_flow_loss",
          "explainability_loss", "smooth_loss"])
 
+    # 3-bar fixed-position terminal UI (reference logger.py:6-59 /
+    # train.py:325-327); degrades to plain prints when stdout isn't a TTY
+    valid_size = len(val_flow_loader) if val_flow_loader is not None else (
+        len(val_depth_loader) if val_depth_loader is not None else 0)
+    logger = TermLogger(n_epochs=args.epochs, train_size=epoch_size,
+                        valid_size=valid_size)
+    logger.epoch_bar.start()
+
     best_error = -1.0
     n_iter = 0
     for epoch in range(args.epochs):
+        logger.epoch_bar.update(epoch)
+        logger.reset_train_bar()
         losses = AverageMeter(precision=4)
+        epoch_losses = []
         t0 = time.time()
         for i, batch in enumerate(
                 device_prefetch(iter(train_loader), mesh=mesh)):
@@ -313,6 +335,10 @@ def main(argv=None):
                     "train Non Rigid Flow Output",
                     flow_to_image(np.asarray(out["flow_fwd"])[0]) / 255.0,
                     n_iter)
+            # train_loss averages EVERY step (reference train.py:563-576);
+            # keep the scalar on device and convert at epoch end to avoid a
+            # per-step D2H sync in the hot loop.
+            epoch_losses.append(metrics["loss"])
             if i > 0 and n_iter % args.print_freq == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 losses.update(m["loss"], args.batch_size)
@@ -324,25 +350,35 @@ def main(argv=None):
                                  m["photo_flow_loss"],
                                  m["explainability_loss"], m["smooth_loss"]])
                 rate = args.batch_size * (i + 1) / (time.time() - t0)
-                print(f"epoch {epoch} it {i}/{epoch_size} "
-                      f"loss {m['loss']:.4f} ({rate:.1f} im/s)")
+                logger.train_writer.write(
+                    f"Train [{epoch}] it {i}/{epoch_size} "
+                    f"Loss {losses} ({rate:.1f} im/s)")
+            logger.train_bar.update(i + 1)
             n_iter += 1
-        train_loss = losses.avg[0]
+        train_loss = (float(np.mean([float(v) for v in epoch_losses]))
+                      if epoch_losses else losses.avg[0])
+        logger.train_writer.write(f" * Avg Loss : {train_loss:.3f}")
+        logger.reset_valid_bar()
 
         flow_errors = depth_errors = None
         if val_flow_loader is not None:
             flow_errors, flow_names = validate_flow(
                 cfg, mods, state, iter(val_flow_loader), fwd_eval,
-                output_writers=output_writers, epoch=epoch)
+                output_writers=output_writers, epoch=epoch,
+                term_logger=logger)
             for e, n in zip(flow_errors, flow_names):
                 writer.add_scalar(n, e, epoch)
+            logger.valid_writer.write(" * Avg " + ", ".join(
+                f"{n} : {e:.3f}" for n, e in zip(flow_names, flow_errors)))
         if val_depth_loader is not None:
             depth_errors, depth_names = validate_depth(
-                cfg, mods, state, iter(val_depth_loader), fwd_disp)
+                cfg, mods, state, iter(val_depth_loader), fwd_disp,
+                term_logger=logger)
             for e, n in zip(depth_errors, depth_names):
                 writer.add_scalar(n, e, epoch)
-            print("Epoch {} depth: {}".format(epoch, ", ".join(
-                f"{n} {e:.3f}" for n, e in zip(depth_names, depth_errors))))
+            logger.valid_writer.write("Epoch {} depth: {}".format(
+                epoch, ", ".join(f"{n} {e:.3f}"
+                                 for n, e in zip(depth_names, depth_errors))))
 
         # decisive error selection (train.py:382-389)
         decisive = train_loss
@@ -360,6 +396,7 @@ def main(argv=None):
         best_error = min(best_error, decisive)
         save_checkpoint(save_path, state, is_best=is_best)
         summary_csv.append([train_loss, decisive])
+    logger.epoch_bar.finish()
     print("=> done")
 
 

@@ -44,6 +44,8 @@ class DataLoader:
             rng = random.Random(
                 None if self.seed is None else self.seed + self._epoch)
             rng.shuffle(indices)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._epoch)
         self._epoch += 1
 
         n_batches = len(self)

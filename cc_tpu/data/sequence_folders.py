@@ -57,6 +57,13 @@ class SequenceFolder:
                                      shuffle_seed=seed)
         self.transform = transform
         self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Vary per-sample augmentation across epochs (the reference's
+        torch RNG draws fresh randomness each epoch) while staying
+        deterministic per (seed, epoch, index)."""
+        self._epoch = epoch
 
     def __getitem__(self, index):
         sample = self.samples[index]
@@ -65,7 +72,8 @@ class SequenceFolder:
         intrinsics = np.copy(sample["intrinsics"])
         if self.transform is not None:
             rng = np.random.default_rng(
-                None if self.seed is None else (self.seed * 1000003 + index))
+                None if self.seed is None
+                else [self.seed, self._epoch, index])
             imgs, intrinsics = self.transform([tgt] + refs, intrinsics, rng)
             tgt, refs = imgs[0], imgs[1:]
         return {

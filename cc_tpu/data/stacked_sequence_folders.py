@@ -46,6 +46,9 @@ class StackedSequenceFolder:
                 self.samples.append({"intrinsics": intrinsics,
                                      "img_stack": base + ".jpg"})
 
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
     def __getitem__(self, index):
         sample = self.samples[index]
         imgs = split_stack(load_image(sample["img_stack"]),
@@ -53,7 +56,8 @@ class StackedSequenceFolder:
         intrinsics = np.copy(sample["intrinsics"])
         if self.transform is not None:
             rng = np.random.default_rng(
-                None if self.seed is None else (self.seed * 1000003 + index))
+                None if self.seed is None
+                else [self.seed, getattr(self, "_epoch", 0), index])
             imgs, intrinsics = self.transform(imgs, intrinsics, rng)
         return {
             "tgt": np.asarray(imgs[0], np.float32),
