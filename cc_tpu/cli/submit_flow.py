@@ -24,6 +24,11 @@ parser.add_argument("--THRESH", type=float, default=0.01)
 parser.add_argument("--nlevels", type=int, default=6)
 parser.add_argument("--output-dir", default="kitti_submission")
 parser.add_argument("--DEBUG", action="store_true")
+# extensions over the reference (hardcoded 256x832 / N=200)
+parser.add_argument("--img-height", type=int, default=256)
+parser.add_argument("--img-width", type=int, default=832)
+parser.add_argument("-N", "--n-samples", type=int, default=200,
+                    dest="n_samples")
 
 
 def main(argv=None):
@@ -50,9 +55,9 @@ def main(argv=None):
     flow_net, flow_vars = load_net_params(best("flownet"), args.flownet,
                                           nlevels=args.nlevels)
 
-    tf = transforms.valid_flow_transform(256, 832)
+    tf = transforms.valid_flow_transform(args.img_height, args.img_width)
     val_set = KITTI2015Test(root=args.kitti_dir, sequence_length=5,
-                            transform=tf,
+                            transform=tf, N=args.n_samples,
                             phase="training" if args.DEBUG else "testing")
 
     testing_dir = os.path.join(args.output_dir, "testing")
@@ -84,7 +89,8 @@ def main(argv=None):
                     jnp.asarray(s["intrinsics_inv"][None]))
         h_pred, w_pred = total.shape[1:3]
         h_gt, w_gt = s["tgt_original"].shape[:2]
-        full = np.asarray(resize_bilinear(total, (h_gt, w_gt)))[0]
+        # np.array (copy): np.asarray of a jax array is read-only
+        full = np.array(resize_bilinear(total, (h_gt, w_gt)))[0]
         full[..., 0] *= w_gt / w_pred
         full[..., 1] *= h_gt / h_pred
         name = str(i).zfill(6) + "_10"

@@ -25,6 +25,12 @@ parser.add_argument("--pretrained-flow", required=True)
 parser.add_argument("--nlevels", type=int, default=6)
 parser.add_argument("--dataset", default="kitti2015")
 parser.add_argument("--output-dir", default=None)
+# extensions over the reference (which hardcodes 256x832 / N=200 at
+# test_flow.py:77,80): defaults preserve reference behavior
+parser.add_argument("--img-height", type=int, default=256)
+parser.add_argument("--img-width", type=int, default=832)
+parser.add_argument("-N", "--n-samples", type=int, default=200,
+                    dest="n_samples")
 
 
 def main(argv=None):
@@ -47,9 +53,9 @@ def main(argv=None):
     flow_net, flow_vars = load_net_params(args.pretrained_flow, args.flownet,
                                           nlevels=args.nlevels)
 
-    tf = transforms.valid_flow_transform(256, 832)
+    tf = transforms.valid_flow_transform(args.img_height, args.img_width)
     val_set = ValidationFlow(root=args.kitti_dir, sequence_length=5,
-                             transform=tf)
+                             transform=tf, N=args.n_samples)
 
     @jax.jit
     def fwd(tgt, refs, k, k_inv):

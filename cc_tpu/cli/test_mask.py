@@ -25,6 +25,11 @@ parser.add_argument("--pretrained-mask", required=True)
 parser.add_argument("--pretrained-flow", required=True)
 parser.add_argument("--nlevels", type=int, default=6)
 parser.add_argument("--output-dir", default=None)
+# extensions over the reference (hardcoded 256x832 / N=200)
+parser.add_argument("--img-height", type=int, default=256)
+parser.add_argument("--img-width", type=int, default=832)
+parser.add_argument("-N", "--n-samples", type=int, default=200,
+                    dest="n_samples")
 
 
 def mask_error(mot_gt, seg_gt, pred):
@@ -81,9 +86,9 @@ def main(argv=None):
     flow_net, flow_vars = load_net_params(args.pretrained_flow, args.flownet,
                                           nlevels=args.nlevels)
 
-    tf = transforms.valid_flow_transform(256, 832)
+    tf = transforms.valid_flow_transform(args.img_height, args.img_width)
     val_set = ValidationMask(root=args.kitti_dir, sequence_length=5,
-                             transform=tf)
+                             transform=tf, N=args.n_samples)
 
     @jax.jit
     def fwd(tgt, refs, k, k_inv):

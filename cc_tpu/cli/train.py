@@ -95,6 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--width", type=int, default=832)
     p.add_argument("-f", "--training-output-freq", type=int, default=0)
+    # extensions over the reference (flow-val loader hardcoded to 256x832
+    # N=200 at train.py:163); defaults preserve reference behavior
+    p.add_argument("--val-flow-height", type=int, default=256)
+    p.add_argument("--val-flow-width", type=int, default=832)
+    p.add_argument("--val-flow-N", type=int, default=200, dest="val_flow_n")
     return p
 
 
@@ -228,7 +233,8 @@ def main(argv=None):
     train_tf = transforms.train_transform(
         norm, with_rotation=not args.fix_flownet)
     valid_tf = transforms.valid_transform(norm)
-    valid_flow_tf = transforms.valid_flow_transform(256, 832, norm)
+    valid_flow_tf = transforms.valid_flow_transform(
+        args.val_flow_height, args.val_flow_width, norm)
 
     print(f"=> fetching scenes in '{args.data}'")
     train_set = SequenceFolder(args.data, seed=args.seed, train=True,
@@ -248,7 +254,8 @@ def main(argv=None):
     if args.with_flow_gt:
         val_flow_set = ValidationFlow(root=args.kitti_dir,
                                       sequence_length=args.sequence_length,
-                                      transform=valid_flow_tf)
+                                      transform=valid_flow_tf,
+                                      N=args.val_flow_n)
         val_flow_loader = DataLoader(val_flow_set, 1,
                                      num_workers=args.workers)
 

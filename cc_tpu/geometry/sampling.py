@@ -10,22 +10,17 @@ align_corners=True (the torch<=1.2 default the reference ran under):
   (boundary samples blend with 0),
 - padding_mode='border': sampling location clamped to the image rect.
 
-Implemented as four gathers via take_along_axis; XLA lowers these to TPU
-gather ops and fuses the weighting arithmetic. A Pallas fused
-warp-and-difference kernel can slot in behind the same API later.
+Implemented as ONE packed gather: the 2x2 tap neighborhood is pre-shifted
+into 4C channels (cheap vectorized pads/slices), so a single
+take_along_axis fetches all four bilinear taps per output pixel. XLA TPU
+lowers small-slice gathers to a sequential dynamic-slice loop over the
+index count — the loop count, not the byte count, is the cost — so one
+4C-channel gather is ~4x cheaper than four C-channel gathers (round-2 perf
+pass; numerics are bit-identical to the 4-gather form).
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
-
-
-def _gather_2d(img_flat: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray,
-               h: int, w: int) -> jnp.ndarray:
-    """Gather img[b, iy, ix, :] for integer index maps ix/iy [B, Hg, Wg]."""
-    b = img_flat.shape[0]
-    flat = (iy * w + ix).reshape(b, -1, 1)
-    out = jnp.take_along_axis(img_flat, flat, axis=1)
-    return out.reshape(b, ix.shape[1], ix.shape[2], img_flat.shape[-1])
 
 
 def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
@@ -33,6 +28,9 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
     """Bilinear sample `img` [B, H, W, C] at normalized `grid` [B, Hg, Wg, 2].
 
     grid[..., 0] is x in [-1, 1], grid[..., 1] is y (align_corners=True).
+    Semantics match torch grid_sample (align_corners=True); zeros mode
+    zero-weights out-of-bounds taps exactly (inverse_warp.py:72-76 contract:
+    fully-OOB pixels come out exactly 0).
     """
     b, h, w, c = img.shape
     x = (grid[..., 0] + 1.0) * 0.5 * (w - 1)
@@ -51,20 +49,40 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
     wx0 = 1.0 - wx1
     wy0 = 1.0 - wy1
 
-    img_flat = img.reshape(b, h * w, c)
-    out = jnp.zeros((b, grid.shape[1], grid.shape[2], c), img.dtype)
+    # Pack the 2x2 neighborhood into channels: img4[i, j] = the 4 taps whose
+    # top-left corner is (i-1, j-1) of the unpadded image. Edge padding makes
+    # the packed taps equal to the old per-tap clip() fetches at every
+    # position reachable with nonzero weight (border mode exact; zeros mode
+    # fetches at clamped positions only where the valid mask already zeroes
+    # the weight).
+    imgp = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    img4 = jnp.concatenate(
+        [imgp[:, :-1, :-1], imgp[:, :-1, 1:],
+         imgp[:, 1:, :-1], imgp[:, 1:, 1:]], axis=-1)  # [B, H+1, W+1, 4C]
+
+    iy = (jnp.clip(y0f, -1.0, h - 1.0) + 1.0).astype(jnp.int32)
+    ix = (jnp.clip(x0f, -1.0, w - 1.0) + 1.0).astype(jnp.int32)
+    flat = (iy * (w + 1) + ix).reshape(b, -1, 1)
+    taps = jnp.take_along_axis(
+        img4.reshape(b, (h + 1) * (w + 1), 4 * c), flat, axis=1)
+    taps = taps.reshape(b, grid.shape[1], grid.shape[2], 4, c)
+
+    weights = []
     for dy, wyy in ((0.0, wy0), (1.0, wy1)):
         for dx, wxx in ((0.0, wx0), (1.0, wx1)):
-            cx = x0f + dx
-            cy = y0f + dy
-            ix = jnp.clip(cx, 0, w - 1).astype(jnp.int32)
-            iy = jnp.clip(cy, 0, h - 1).astype(jnp.int32)
-            tap = _gather_2d(img_flat, ix, iy, h, w)
             weight = wxx * wyy
             if padding_mode == "zeros":
-                valid = ((cx >= 0) & (cx <= w - 1) & (cy >= 0) & (cy <= h - 1))
+                cx = x0f + dx
+                cy = y0f + dy
+                valid = ((cx >= 0) & (cx <= w - 1)
+                         & (cy >= 0) & (cy <= h - 1))
                 weight = weight * valid.astype(img.dtype)
-            out = out + tap * weight[..., None]
+            weights.append(weight)
+
+    # same accumulation order as the 4-gather form (bit-identical)
+    out = taps[..., 0, :] * weights[0][..., None]
+    for t in range(1, 4):
+        out = out + taps[..., t, :] * weights[t][..., None]
     return out
 
 

@@ -2,14 +2,19 @@
 
 Returns the SSIM *map* (not its mean), like the reference's functional `ssim`
 (window 13, sigma 1.5, zero 'same' padding, depthwise convolution).
-Implemented as two separable depthwise convolutions per filtered quantity —
-XLA fuses these into efficient TPU convolutions.
+
+TPU note (round-2 perf pass): a depthwise conv with C=3 uses 3 of the VPU's
+128 lanes (~2% utilization) and the CC loss stack runs ~200 Gaussian-blur
+passes per step. The separable blur is instead applied as two banded-matrix
+einsums over H and W — these hit the MXU at full tile utilization and are
+mathematically identical to the zero-'same'-padded depthwise convolution
+(row o of the matrix holds g[i-o+pad] for |i-o| <= pad, zeros elsewhere, so
+edge rows truncate exactly like zero padding).
 """
 from __future__ import annotations
 
 from functools import lru_cache
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -21,38 +26,48 @@ def _gaussian_1d(window_size: int, sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
+@lru_cache(maxsize=None)
+def _blur_matrix(n: int, window_size: int, sigma: float) -> np.ndarray:
+    """Banded [n, n] matrix equal to a zero-'same'-padded 1-D conv with the
+    Gaussian kernel."""
+    g = _gaussian_1d(window_size, sigma)
+    pad = window_size // 2
+    m = np.zeros((n, n), dtype=np.float32)
+    for o in range(n):
+        lo = max(0, o - pad)
+        hi = min(n, o + pad + 1)
+        m[o, lo:hi] = g[lo - o + pad:hi - o + pad]
+    return m
+
+
 def _depthwise_blur(x: jnp.ndarray, window_size: int, sigma: float
                     ) -> jnp.ndarray:
-    """Separable depthwise Gaussian with zero 'same' padding, NHWC."""
-    c = x.shape[-1]
-    g = jnp.asarray(_gaussian_1d(window_size, sigma), dtype=x.dtype)
-    kh = jnp.tile(g.reshape(window_size, 1, 1, 1), (1, 1, 1, c))
-    kw = jnp.tile(g.reshape(1, window_size, 1, 1), (1, 1, 1, c))
-    pad = window_size // 2
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape,
-                                        ("NHWC", "HWIO", "NHWC"))
-    x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), ((pad, pad), (0, 0)), dimension_numbers=dn,
-        feature_group_count=c)
-    x = jax.lax.conv_general_dilated(
-        x, kw, (1, 1), ((0, 0), (pad, pad)), dimension_numbers=dn,
-        feature_group_count=c)
-    return x
+    """Separable Gaussian with zero 'same' padding, NHWC, via MXU einsums."""
+    h, w = x.shape[1], x.shape[2]
+    mh = jnp.asarray(_blur_matrix(h, window_size, sigma), dtype=x.dtype)
+    mw = jnp.asarray(_blur_matrix(w, window_size, sigma), dtype=x.dtype)
+    x = jnp.einsum("oh,bhwc->bowc", mh, x)
+    return jnp.einsum("pw,bowc->bopc", mw, x)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 13,
          sigma: float = 1.5) -> jnp.ndarray:
     """SSIM map of two NHWC images; constants C1=0.01^2, C2=0.03^2."""
-    mu1 = _depthwise_blur(img1, window_size, sigma)
-    mu2 = _depthwise_blur(img2, window_size, sigma)
+    c = img1.shape[-1]
+    # one fused blur over the 5 filtered quantities (stacked on channels)
+    stacked = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=-1)
+    blurred = _depthwise_blur(stacked, window_size, sigma)
+    mu1 = blurred[..., 0 * c:1 * c]
+    mu2 = blurred[..., 1 * c:2 * c]
 
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu1_mu2 = mu1 * mu2
 
-    sigma1_sq = _depthwise_blur(img1 * img1, window_size, sigma) - mu1_sq
-    sigma2_sq = _depthwise_blur(img2 * img2, window_size, sigma) - mu2_sq
-    sigma12 = _depthwise_blur(img1 * img2, window_size, sigma) - mu1_mu2
+    sigma1_sq = blurred[..., 2 * c:3 * c] - mu1_sq
+    sigma2_sq = blurred[..., 3 * c:4 * c] - mu2_sq
+    sigma12 = blurred[..., 4 * c:5 * c] - mu1_mu2
 
     c1 = 0.01 ** 2
     c2 = 0.03 ** 2

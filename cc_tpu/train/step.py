@@ -101,17 +101,29 @@ def compute_losses(cfg: TrainConfig, outputs, batch):
     flow_fwd = _maybe_sg(flow_fwd, cfg.fix_flownet)
     flow_bwd = _maybe_sg(flow_bwd, cfg.fix_flownet)
 
-    flows_cam_fwd = [pose2flow(d[..., 0], pose[:, 2], K, K_inv,
-                               cfg.rotation_mode) for d in depth]
-    flows_cam_bwd = [pose2flow(d[..., 0], pose[:, 1], K, K_inv,
-                               cfg.rotation_mode) for d in depth]
+    w1 = cfg.cam_photo_loss_weight
+    w2 = cfg.mask_loss_weight
+    w3 = cfg.smooth_loss_weight
+    w4 = cfg.flow_photo_loss_weight
+    w5 = cfg.consensus_loss_weight
 
-    exp_masks_target = consensus_exp_masks(
-        flows_cam_fwd, flows_cam_bwd, flow_fwd, flow_bwd, tgt, refs[2],
-        refs[1], wssim=cfg.wssim, wrig=cfg.wrig, ws=cfg.smooth_loss_weight)
+    # Zero-weight losses are skipped in PYTHON, not left to XLA: the
+    # compiler does not fold 0.0*x for floats (NaN semantics), so w*loss
+    # with w==0 would still execute the whole loss subgraph on device.
+    # Behavior is identical (the reference sums w_i*loss_i, train.py:509);
+    # skipped losses report 0 in metrics.
+    zero = jnp.zeros(())
 
-    rigidity_fwd = [jnp.abs(fc - f) for fc, f in zip(flows_cam_fwd, flow_fwd)]
-    rigidity_bwd = [jnp.abs(fc - f) for fc, f in zip(flows_cam_bwd, flow_bwd)]
+    need_cam_flows = w5 > 0 or cfg.joint_mask_for_depth
+    if need_cam_flows:
+        flows_cam_fwd = [pose2flow(d[..., 0], pose[:, 2], K, K_inv,
+                                   cfg.rotation_mode) for d in depth]
+        flows_cam_bwd = [pose2flow(d[..., 0], pose[:, 1], K, K_inv,
+                                   cfg.rotation_mode) for d in depth]
+        rigidity_fwd = [jnp.abs(fc - f)
+                        for fc, f in zip(flows_cam_fwd, flow_fwd)]
+        rigidity_bwd = [jnp.abs(fc - f)
+                        for fc, f in zip(flows_cam_bwd, flow_bwd)]
 
     if cfg.joint_mask_for_depth:
         exp_for_depth = compute_joint_mask_for_depth(
@@ -124,20 +136,17 @@ def compute_losses(cfg: TrainConfig, outputs, batch):
     else:
         flow_exp_mask = [1.0 - m[..., 1:3] for m in exp_masks]
 
-    w1 = cfg.cam_photo_loss_weight
-    w2 = cfg.mask_loss_weight
-    w3 = cfg.smooth_loss_weight
-    w4 = cfg.flow_photo_loss_weight
-    w5 = cfg.consensus_loss_weight
-
     loss1 = photometric_reconstruction_loss(
         tgt, refs, K, K_inv, depth, exp_for_depth, pose,
         rotation_mode=cfg.rotation_mode, padding_mode=cfg.padding_mode,
-        lambda_oob=cfg.lambda_oob, qch=cfg.qch, wssim=cfg.wssim)
+        lambda_oob=cfg.lambda_oob, qch=cfg.qch,
+        wssim=cfg.wssim) if w1 > 0 else zero
 
-    loss2 = explainability_loss(exp_masks) if w2 > 0 else jnp.zeros(())
+    loss2 = explainability_loss(exp_masks) if w2 > 0 else zero
 
-    if cfg.smoothness_type == "regular":
+    if w3 <= 0:
+        loss3 = zero
+    elif cfg.smoothness_type == "regular":
         loss3 = (smooth_loss(depth) + smooth_loss(flow_fwd)
                  + smooth_loss(flow_bwd) + smooth_loss(exp_masks))
     else:
@@ -148,11 +157,19 @@ def compute_losses(cfg: TrainConfig, outputs, batch):
 
     loss4 = photometric_flow_loss(
         tgt, refs[1:3], [flow_bwd, flow_fwd], flow_exp_mask,
-        lambda_oob=cfg.lambda_oob, qch=cfg.qch, wssim=cfg.wssim)
+        lambda_oob=cfg.lambda_oob, qch=cfg.qch,
+        wssim=cfg.wssim) if w4 > 0 else zero
 
-    loss5 = consensus_depth_flow_mask(
-        exp_masks, rigidity_bwd, rigidity_fwd, exp_masks_target,
-        exp_masks_target, THRESH=cfg.THRESH, wbce=cfg.wbce)
+    if w5 > 0:
+        exp_masks_target = consensus_exp_masks(
+            flows_cam_fwd, flows_cam_bwd, flow_fwd, flow_bwd, tgt, refs[2],
+            refs[1], wssim=cfg.wssim, wrig=cfg.wrig,
+            ws=cfg.smooth_loss_weight)
+        loss5 = consensus_depth_flow_mask(
+            exp_masks, rigidity_bwd, rigidity_fwd, exp_masks_target,
+            exp_masks_target, THRESH=cfg.THRESH, wbce=cfg.wbce)
+    else:
+        loss5 = zero
 
     total = w1 * loss1 + w2 * loss2 + w3 * loss3 + w4 * loss4 + w5 * loss5
     metrics = {"loss": total, "photo_cam_loss": loss1,

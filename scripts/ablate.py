@@ -108,6 +108,46 @@ def main():
             return tree_sum(out)
         return f
 
+    # --- primitive micro-variants at the real loss-stack shapes -----------
+    # The CC loss stack at 832x256 b4 performs ~60 bilinear warps and ~36
+    # SSIMs across the 6-scale pyramid per step. These micro functions
+    # reproduce those op counts in isolation so the hot primitive is
+    # unambiguous.
+    h0, w0 = cfg.height, cfg.width
+    scale_hw = [(h0 >> s, w0 >> s) for s in range(6)]
+
+    def micro(fn_name):
+        from cc_tpu.geometry import flow_warp
+        from cc_tpu.losses.ssim import ssim
+        from cc_tpu.ops.image import adaptive_avg_pool
+
+        def f(params, batch):
+            # differentiate w.r.t. an image-sized leaf so there IS a backward
+            tgt = batch["tgt"] + tree_sum(params["pose"]) * 0.0
+            ref = batch["refs"][:, 0]
+            total = 0.0
+            if fn_name == "warp60":
+                for (h, w) in scale_hw:
+                    t = adaptive_avg_pool(tgt, (h, w))
+                    r = adaptive_avg_pool(ref, (h, w))
+                    base = jnp.stack([t[..., 0], r[..., 1]], -1)
+                    for i in range(10):
+                        total = total + jnp.mean(
+                            flow_warp(r, base * (0.1 * i)))
+            elif fn_name == "ssim36":
+                for (h, w) in scale_hw:
+                    t = adaptive_avg_pool(tgt, (h, w))
+                    r = adaptive_avg_pool(ref, (h, w))
+                    for i in range(6):
+                        total = total + jnp.mean(ssim(t, r * (0.1 + i)))
+            elif fn_name == "pool36":
+                for (h, w) in scale_hw:
+                    for i in range(6):
+                        total = total + jnp.mean(
+                            adaptive_avg_pool(tgt * (1 + 0.1 * i), (h, w)))
+            return total
+        return f
+
     variants = {
         "fwd_only": loss_with(set()),
         "full": loss_with({"l1", "l2", "l3", "l4", "l5"}),
@@ -119,6 +159,9 @@ def main():
         "net_pose": net_only("pose"),
         "net_mask": net_only("mask"),
         "net_flow": net_only("flow"),
+        "micro_warp60": micro("warp60"),
+        "micro_ssim36": micro("ssim36"),
+        "micro_pool36": micro("pool36"),
     }
     chosen = sys.argv[1:] or list(variants)
 
