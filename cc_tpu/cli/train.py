@@ -100,6 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--val-flow-height", type=int, default=256)
     p.add_argument("--val-flow-width", type=int, default=832)
     p.add_argument("--val-flow-N", type=int, default=200, dest="val_flow_n")
+    p.add_argument("--loader", choices=["auto", "python", "native"],
+                   default="auto",
+                   help="data plane: native = C++ decode+augment "
+                        "(cc_tpu/native, numerically matching python); "
+                        "auto = native when it builds, else python")
     return p
 
 
@@ -232,6 +237,16 @@ def main(argv=None):
     norm = args.data_normalization
     train_tf = transforms.train_transform(
         norm, with_rotation=not args.fix_flownet)
+    if args.loader != "python":
+        from cc_tpu import native
+        if native.lib() is not None:
+            from cc_tpu.data.native_pipeline import NativeTrainPipeline
+            train_tf = NativeTrainPipeline(
+                norm, with_rotation=not args.fix_flownet)
+            print("=> native (C++) data plane active")
+        elif args.loader == "native":
+            raise RuntimeError("--loader native requested but the C++ data "
+                               "plane failed to build")
     valid_tf = transforms.valid_transform(norm)
     valid_flow_tf = transforms.valid_flow_transform(
         args.val_flow_height, args.val_flow_width, norm)

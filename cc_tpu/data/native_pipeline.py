@@ -1,0 +1,99 @@
+"""Native data-plane pipeline specs: Python draws the (seed-deterministic)
+augmentation parameters, C++ (cc_tpu.native) does the pixel work.
+
+The parameter-draw sequence consumes the numpy Generator EXACTLY like the
+pure-Python Compose in cc_tpu/data/transforms.py, so for a given
+(seed, epoch, index) the two paths produce identical samples (same cv2
+ops, same parameters; see tests/test_native_dataplane.py).
+"""
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from cc_tpu.native import DpAug
+
+
+class NativeTrainPipeline:
+    """Spec equivalent of transforms.train_transform(normalize, with_rotation)."""
+
+    def __init__(self, normalize: str = "global", with_rotation: bool = True):
+        self.normalize = normalize
+        self.with_rotation = with_rotation
+        from cc_tpu.data import transforms
+        self.fallback = transforms.train_transform(normalize, with_rotation)
+
+    def draw(self, rng: np.random.Generator, in_h: int, in_w: int,
+             intrinsics: np.ndarray):
+        """Consume rng like the Compose does; return (DpAug, new_K)."""
+        aug = DpAug()
+        k = np.copy(intrinsics)
+        if self.with_rotation:  # RandomRotate (K untouched)
+            if rng.random() <= 0.5:
+                aug.apply_rot = 1
+                aug.rot_deg = float(rng.uniform(0, 10))
+        if rng.random() < 0.5:  # RandomHorizontalFlip
+            aug.apply_flip = 1
+            k[0, 2] = in_w - k[0, 2]
+        xs, ys = rng.uniform(1, 1.1, 2)  # RandomScaleCrop
+        scaled_h, scaled_w = int(in_h * ys), int(in_w * xs)
+        k[0] *= xs
+        k[1] *= ys
+        off_y = int(rng.integers(0, scaled_h - in_h + 1))
+        off_x = int(rng.integers(0, scaled_w - in_w + 1))
+        k[0, 2] -= off_x
+        k[1, 2] -= off_y
+        aug.scaled_h, aug.scaled_w = scaled_h, scaled_w
+        aug.crop_x, aug.crop_y = off_x, off_y
+        aug.out_h, aug.out_w = in_h, in_w
+        aug.normalize = 2 if self.normalize == "local" else 1
+        aug.mean, aug.std = 0.5, 0.5
+        return aug, k.astype(np.float32)
+
+    def out_hw(self, in_h: int, in_w: int):
+        return in_h, in_w
+
+
+class NativeValidPipeline:
+    """Spec equivalent of transforms.valid_flow_transform(h, w) /
+    valid_transform (h=w=0 -> no resize)."""
+
+    def __init__(self, h: int = 0, w: int = 0, normalize: str = "global"):
+        self.h, self.w = h, w
+        self.normalize = normalize
+        from cc_tpu.data import transforms
+        self.fallback = (transforms.valid_flow_transform(h, w, normalize)
+                         if h else transforms.valid_transform(normalize))
+
+    def draw(self, rng, in_h: int, in_w: int, intrinsics):
+        aug = DpAug()
+        k = np.copy(intrinsics) if intrinsics is not None else None
+        if self.h:
+            aug.resize_h, aug.resize_w = self.h, self.w
+            if k is not None:
+                k[0] *= self.w / in_w
+                k[1] *= self.h / in_h
+        aug.normalize = 2 if self.normalize == "local" else 1
+        aug.mean, aug.std = 0.5, 0.5
+        return aug, None if k is None else k.astype(np.float32)
+
+    def out_hw(self, in_h: int, in_w: int):
+        return (self.h, self.w) if self.h else (in_h, in_w)
+
+
+def process_sample(lib, paths: list[str], aug: DpAug, out_h: int,
+                   out_w: int) -> np.ndarray:
+    """Run the C++ decode+augment for a joint image list.
+
+    Returns [n, out_h, out_w, 3] float32. Raises FileNotFoundError on a
+    missing/undecodable path (mirrors load_image)."""
+    blob = b"".join(p.encode() + b"\0" for p in paths)
+    out = np.empty((len(paths), out_h, out_w, 3), np.float32)
+    rc = lib.dp_process_sample(
+        blob, len(paths), ctypes.byref(aug),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc != 0:
+        raise FileNotFoundError(
+            f"native decode failed (rc={rc}) for {paths[-rc - 1]}")
+    return out

@@ -58,6 +58,7 @@ class SequenceFolder:
         self.transform = transform
         self.seed = seed
         self._epoch = 0
+        self._dim_cache: dict = {}
 
     def set_epoch(self, epoch: int):
         """Vary per-sample augmentation across epochs (the reference's
@@ -65,16 +66,48 @@ class SequenceFolder:
         deterministic per (seed, epoch, index)."""
         self._epoch = epoch
 
+    def _rng(self, index):
+        return np.random.default_rng(
+            None if self.seed is None else [self.seed, self._epoch, index])
+
+    def _dims(self, path: str):
+        """Per-scene image dims (the ETL dumps uniform sizes per scene)."""
+        key = os.path.dirname(path)
+        if key not in self._dim_cache:
+            self._dim_cache[key] = load_image(path).shape[:2]
+        return self._dim_cache[key]
+
     def __getitem__(self, index):
         sample = self.samples[index]
+        # native (C++) data plane: Python draws the aug parameters from the
+        # same rng sequence, C++ does decode+augment (GIL-free)
+        if hasattr(self.transform, "draw"):
+            from cc_tpu import native
+            lib = native.lib()
+            if lib is not None:
+                from cc_tpu.data.native_pipeline import process_sample
+                paths = [sample["tgt"]] + list(sample["ref_imgs"])
+                in_h, in_w = self._dims(sample["tgt"])
+                aug, k = self.transform.draw(self._rng(index), in_h, in_w,
+                                             np.copy(sample["intrinsics"]))
+                imgs = process_sample(lib, paths, aug,
+                                      *self.transform.out_hw(in_h, in_w))
+                return {
+                    "tgt": imgs[0],
+                    "refs": imgs[1:].copy(),
+                    "intrinsics": k,
+                    "intrinsics_inv": np.linalg.inv(k).astype(np.float32),
+                }
+            transform = self.transform.fallback
+        else:
+            transform = self.transform
+
         tgt = load_image(sample["tgt"])
         refs = [load_image(p) for p in sample["ref_imgs"]]
         intrinsics = np.copy(sample["intrinsics"])
-        if self.transform is not None:
-            rng = np.random.default_rng(
-                None if self.seed is None
-                else [self.seed, self._epoch, index])
-            imgs, intrinsics = self.transform([tgt] + refs, intrinsics, rng)
+        if transform is not None:
+            imgs, intrinsics = transform([tgt] + refs, intrinsics,
+                                         self._rng(index))
             tgt, refs = imgs[0], imgs[1:]
         return {
             "tgt": np.asarray(tgt, np.float32),
