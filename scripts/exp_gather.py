@@ -1,0 +1,136 @@
+"""Gather-formulation experiments on the real TPU (round-2 perf pass).
+
+The CC step's warp stack costs ~85 ms (micro_warp60) = ~7.5 ns/index,
+~30x above the random-access HBM floor. XLA lowers the current
+axis=1 take_along_axis to a slow per-index path; these experiments time
+alternative formulations to find a fast one:
+
+  E1  current grid_sample, 1 fine warp (256x832, 3ch img -> packed 12ch)
+  E2  current grid_sample, 1 coarse warp (64x208)  [scaling probe]
+  E3  take_along_axis axis=-1, per-row lane gather [R=1024, T=833]
+  E8  take_along_axis axis=-1, FLAT-table 2D gather (the whole warp as
+      one lane gather per channel): img [B, C, S] idx [B, C, P]
+  E8b same but single-channel table [B*C rows share nothing]
+  E5  Pallas select-loop row gather (EXP2 kernel) at [256, 832]
+
+Usage: python scripts/exp_gather.py [e1 e2 ...]  (default: all)
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+jax.config.update("jax_compilation_cache_dir", "/tmp/cc_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _sync(x):
+    return float(np.asarray(jax.device_get(x)).ravel()[0])
+
+
+def bench(name, fn, *args, steps=20):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    _sync(jax.tree_util.tree_leaves(out)[0])
+    compile_s = time.perf_counter() - t0
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = fn(*args)
+        _sync(jax.tree_util.tree_leaves(out)[0])
+        dt = (time.perf_counter() - t0) / steps
+        best = dt if best is None else min(best, dt)
+    print(f"{name:24s} {best*1e3:9.3f} ms   (compile {compile_s:.0f}s)",
+          flush=True)
+    return best
+
+
+B, H, W, C = 4, 256, 832, 3
+r = np.random.RandomState(0)
+img = jnp.asarray(r.rand(B, H, W, C).astype(np.float32))
+flow = jnp.asarray((r.rand(B, H, W, 2).astype(np.float32) - 0.5) * 20)
+
+
+def main():
+    chosen = set(sys.argv[1:]) or {"e1", "e2", "e3", "e8", "e8b", "e5"}
+    print(f"# device={jax.devices()[0]}", flush=True)
+
+    from cc_tpu.geometry import flow_warp
+
+    if "e1" in chosen:
+        f = jax.jit(lambda i, fl: flow_warp(i, fl))
+        bench("E1 grid_sample fine", f, img, flow)
+
+    if "e2" in chosen:
+        h2, w2 = H // 4, W // 4
+        i2 = img[:, :h2, :w2]
+        f2 = flow[:, :h2, :w2] * 0.25
+        f = jax.jit(lambda i, fl: flow_warp(i, fl))
+        bench("E2 grid_sample /4", f, i2, f2)
+
+    if "e3" in chosen:
+        # per-row lane gather: R rows, table T=W+1, P=W indices per row
+        tab = jnp.asarray(r.rand(B * H, W + 1).astype(np.float32))
+        idx = jnp.asarray(r.randint(0, W + 1, (B * H, W)).astype(np.int32))
+        f = jax.jit(lambda t, i: jnp.take_along_axis(t, i, axis=-1))
+        bench("E3 lane gather row", f, tab, idx)
+
+    if "e8" in chosen:
+        # whole 2D warp as ONE flat lane gather per channel
+        S, P = (H + 1) * (W + 1), H * W
+        tab = jnp.asarray(r.rand(B, C, S).astype(np.float32))
+        idx = jnp.asarray(
+            r.randint(0, S, (B, 1, P)).astype(np.int32))
+        f = jax.jit(lambda t, i: jnp.take_along_axis(
+            t, jnp.broadcast_to(i, (B, C, P)), axis=-1))
+        bench("E8 flat lane gather", f, tab, idx)
+
+    if "e8b" in chosen:
+        # packed-channel flat gather: table [B, S, 4C] gather axis=1 is the
+        # CURRENT form; this variant keeps channels minor but gathers along
+        # axis=-1 of a [B*4C, S] layout (per-channel planes)
+        S, P = (H + 1) * (W + 1), H * W
+        tab = jnp.asarray(r.rand(B * 12, S).astype(np.float32))
+        idx = jnp.asarray(
+            np.repeat(r.randint(0, S, (B, 1, P)), 12, 1).reshape(B * 12, P)
+            .astype(np.int32))
+        f = jax.jit(lambda t, i: jnp.take_along_axis(t, i, axis=-1))
+        bench("E8b flat gather 12ch", f, tab, idx)
+
+    if "e5" in chosen:
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        imgs = jnp.asarray(r.rand(H, W).astype(np.float32))
+        idxs = jnp.asarray(r.randint(0, H, (H, W)).astype(np.int32))
+
+        def k2(img_ref, idx_ref, out_ref):
+            idxv = idx_ref[:]
+            acc = jnp.zeros_like(out_ref)
+
+            def body(h, acc):
+                row = img_ref[h, :]
+                return jnp.where(idxv == h, row[None, :], acc)
+            acc = jax.lax.fori_loop(0, H, body, acc)
+            out_ref[:] = acc
+
+        f = jax.jit(functools.partial(
+            pl.pallas_call, k2,
+            out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))())
+        g = jax.jit(lambda a, b: f(a, b))
+        bench("E5 pallas select-loop", g, imgs, idxs)
+
+
+if __name__ == "__main__":
+    main()
