@@ -46,7 +46,10 @@ def matmul_sanity_check() -> float:
     n = 4096
     a = jnp.ones((n, n), jnp.bfloat16)
     b = jnp.ones((n, n), jnp.bfloat16)
-    f = jax.jit(lambda a, b: a @ b)
+    # reduce on device: syncing the full [n, n] product would drag ~32 MB
+    # through the (slow) remote D2H tunnel inside the timed region and
+    # understate the rate ~100x
+    f = jax.jit(lambda a, b: jnp.sum((a @ b).astype(jnp.float32)))
     _sync(f(a, b))  # compile + warm
     iters = 8
     t0 = time.perf_counter()

@@ -44,7 +44,14 @@ def load_mnist(root: str, train: bool = True):
 
 
 def load_svhn(root: str, train: bool = True):
-    import cv2
+    """SVHN .mat -> [N, 28, 28, 1] float32 in [0, 1].
+
+    Matches the reference's torchvision pipeline exactly (mnist.py:151-153:
+    Resize(28) -> Grayscale -> ToTensor, which are PIL ops in that order:
+    antialiased bilinear resize, then ITU-R 601-2 luma). Falls back to cv2
+    (grayscale + non-antialiased resize, ~1-2 gray-level deltas) if PIL is
+    unavailable.
+    """
     from scipy.io import loadmat
     split = "train" if train else "test"
     mat = loadmat(os.path.join(root, f"{split}_32x32.mat"))
@@ -53,9 +60,17 @@ def load_svhn(root: str, train: bool = True):
     y[y == 10] = 0
     n = x.shape[-1]
     out = np.zeros((n, 28, 28, 1), np.float32)
-    for i in range(n):
-        g = cv2.cvtColor(x[..., i], cv2.COLOR_RGB2GRAY)
-        out[i, ..., 0] = cv2.resize(g, (28, 28)) / 255.0
+    try:
+        from PIL import Image
+        for i in range(n):
+            im = Image.fromarray(x[..., i], "RGB")
+            im = im.resize((28, 28), Image.BILINEAR).convert("L")
+            out[i, ..., 0] = np.asarray(im, np.float32) / 255.0
+    except ImportError:
+        import cv2
+        for i in range(n):
+            g = cv2.cvtColor(x[..., i], cv2.COLOR_RGB2GRAY)
+            out[i, ..., 0] = cv2.resize(g, (28, 28)) / 255.0
     return out, y
 
 

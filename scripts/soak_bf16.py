@@ -12,6 +12,9 @@ from cc_tpu.train import TrainConfig, make_models, init_state, build_train_step
 
 steps = int(os.environ.get("CC_SOAK_STEPS", "2000"))
 check = int(os.environ.get("CC_SOAK_CHECK", "100"))
+# state snapshots pull the full ~GB state through the (slow) remote D2H
+# tunnel — keep them coarse even when the scalar check is fine-grained
+snap = int(os.environ.get("CC_SOAK_SNAP", str(max(check, 100))))
 dtype = os.environ.get("CC_SOAK_DTYPE", "bfloat16")
 cfg = TrainConfig(height=256, width=832, batch_size=4, wssim=0.997,
                   smoothness_type="edgeaware", mask_loss_weight=0.1,
@@ -32,10 +35,12 @@ for i in range(8):
         "intrinsics_inv": jnp.asarray(np.linalg.inv(k))})
 t0 = time.time()
 last_good = None
+last_snap_step = 0
 for i in range(steps):
-    if (i % check) == 0:
+    if (i % snap) == 0:
         # keep a host copy BEFORE the next window (donation invalidates)
         last_good_candidate = jax.device_get(state)
+        snap_step_candidate = i
     state, m = step(state, batches[i % 8])
     if (i+1) % check == 0:
         mh = {kk: float(np.asarray(jax.device_get(vv))) for kk, vv in m.items()}
@@ -44,7 +49,7 @@ for i in range(steps):
               flush=True)
         if not ok:
             with open("/tmp/soak_last_good.pkl", "wb") as f:
-                pickle.dump({"state": last_good, "step": i+1-check}, f)
+                pickle.dump({"state": last_good, "step": last_snap_step}, f)
             for net, p in jax.device_get(state).params.items():
                 mx = max(float(np.abs(np.asarray(x)).max())
                          for x in jax.tree_util.tree_leaves(p))
@@ -53,5 +58,6 @@ for i in range(steps):
                 print(f"  params[{net}]: max_abs={mx:.3e} finite={fin}",
                       flush=True)
             raise SystemExit(f"non-finite at step {i+1}")
-        last_good = last_good_candidate
+        if last_good is None or snap_step_candidate > last_snap_step:
+            last_good, last_snap_step = last_good_candidate, snap_step_candidate
 print(f"SOAK OK: {steps} {dtype} steps finite at 832x256 b4")

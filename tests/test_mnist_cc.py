@@ -79,3 +79,27 @@ def test_fix_alice_trains_bob_only():
     assert leaves_delta(state.params["alice"],
                         new_state.params["alice"]) == 0
     assert leaves_delta(state.params["bob"], new_state.params["bob"]) > 0
+
+
+def test_load_svhn_matches_reference_transform(tmp_path):
+    """Reference pipeline is Resize(28, PIL bilinear) THEN Grayscale
+    (mnist.py:151-153); check the loader against that op order computed
+    independently, plus the 10->0 label remap."""
+    import numpy as np
+    from scipy.io import savemat
+    from PIL import Image
+    from cc_tpu.mnist.data import load_svhn
+
+    r = np.random.RandomState(0)
+    x = (r.rand(32, 32, 3, 5) * 255).astype(np.uint8)
+    y = np.array([[1], [10], [3], [10], [7]], dtype=np.uint8)
+    savemat(tmp_path / "train_32x32.mat", {"X": x, "y": y})
+
+    imgs, labels = load_svhn(str(tmp_path), train=True)
+    assert imgs.shape == (5, 28, 28, 1) and imgs.dtype == np.float32
+    np.testing.assert_array_equal(labels, [1, 0, 3, 0, 7])
+    want = np.asarray(
+        Image.fromarray(x[..., 2], "RGB").resize((28, 28), Image.BILINEAR)
+        .convert("L"), np.float32) / 255.0
+    np.testing.assert_array_equal(imgs[2, ..., 0], want)
+    assert 0.0 <= imgs.min() and imgs.max() <= 1.0
