@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--beta", type=float, default=0.999)
     p.add_argument("--weight-decay", "--wd", type=float, default=0.0,
                    dest="weight_decay")
+    p.add_argument("--clip-grad-norm", type=float, default=0.0,
+                   dest="clip_grad_norm",
+                   help="global-norm gradient clip; 0 = off (reference "
+                        "parity). Recommended ~5.0 with --compute-dtype "
+                        "bfloat16 (bounds rare bf16 gradient spikes)")
     p.add_argument("--print-freq", type=int, default=10)
     p.add_argument("--smoothness-type", choices=["edgeaware", "regular"],
                    default="regular")
@@ -119,6 +124,7 @@ def config_from_args(args):
         width=args.width, batch_size=args.batch_size, lr=args.lr,
         momentum=args.momentum, beta=args.beta,
         weight_decay=args.weight_decay,
+        clip_grad_norm=args.clip_grad_norm,
         cam_photo_loss_weight=args.cam_photo_loss_weight,
         mask_loss_weight=args.mask_loss_weight,
         smooth_loss_weight=args.smooth_loss_weight,

@@ -33,8 +33,12 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
     fully-OOB pixels come out exactly 0).
     """
     b, h, w, c = img.shape
-    x = (grid[..., 0] + 1.0) * 0.5 * (w - 1)
-    y = (grid[..., 1] + 1.0) * 0.5 * (h - 1)
+    # Coordinate math is always fp32: under compute_dtype=bfloat16 a bf16
+    # x-coordinate at w=832 quantizes to ~4 px (8 mantissa bits) and the
+    # bilinear fractions lose all precision. Taps are gathered in img.dtype
+    # (bandwidth), accumulated in fp32, cast back. Identity in fp32 mode.
+    x = (grid[..., 0].astype(jnp.float32) + 1.0) * 0.5 * (w - 1)
+    y = (grid[..., 1].astype(jnp.float32) + 1.0) * 0.5 * (h - 1)
 
     if padding_mode == "border":
         x = jnp.clip(x, 0.0, w - 1.0)
@@ -76,14 +80,15 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
                 cy = y0f + dy
                 valid = ((cx >= 0) & (cx <= w - 1)
                          & (cy >= 0) & (cy <= h - 1))
-                weight = weight * valid.astype(img.dtype)
+                weight = weight * valid.astype(weight.dtype)
             weights.append(weight)
 
-    # same accumulation order as the 4-gather form (bit-identical)
+    # fp32 accumulation, same order as the 4-gather form (bit-identical in
+    # fp32 mode); cast back so bf16 callers keep a bf16 compute path
     out = taps[..., 0, :] * weights[0][..., None]
     for t in range(1, 4):
         out = out + taps[..., t, :] * weights[t][..., None]
-    return out
+    return out.astype(img.dtype)
 
 
 def flow_warp(img: jnp.ndarray, flow: jnp.ndarray,
@@ -93,10 +98,11 @@ def flow_warp(img: jnp.ndarray, flow: jnp.ndarray,
     out(p) = img(p + flow(p)). Parity: inverse_warp.py:164-192.
     """
     _, h, w, _ = flow.shape
-    gx = jnp.arange(w, dtype=flow.dtype)[None, None, :]
-    gy = jnp.arange(h, dtype=flow.dtype)[None, :, None]
-    X = gx + flow[..., 0]
-    Y = gy + flow[..., 1]
+    # fp32 grid construction (see grid_sample: bf16 coords quantize ~4 px)
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    X = gx + flow[..., 0].astype(jnp.float32)
+    Y = gy + flow[..., 1].astype(jnp.float32)
     Xn = 2.0 * (X / (w - 1.0) - 0.5)
     Yn = 2.0 * (Y / (h - 1.0) - 0.5)
     grid = jnp.stack([Xn, Yn], axis=-1)

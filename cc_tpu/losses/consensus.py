@@ -21,13 +21,17 @@ EPSILON = 1e-8
 
 def consensus_exp_masks(cam_flows_fwd, cam_flows_bwd, flows_fwd, flows_bwd,
                         tgt_img, ref_img_fwd, ref_img_bwd,
-                        wssim, wrig, ws=0.1):
+                        wssim, wrig, ws=0.1, flow_warped_fwd=None):
     """Per-scale binary targets "rigid explains this pixel better" [B,h,w,1].
 
     Parity: loss_functions.py:160-202. Kept quirk: the per-scale weight `ws`
     is threaded through but unused by the per-scale computation.
+    `flow_warped_fwd` (optional) is the per-scale flow_warp(ref_fwd, flow)
+    already computed by the flow photometric loss — identical values
+    (loss_functions.py:176 recomputes it; the cam warps can NOT be shared:
+    their flows use full-res intrinsics at every scale, a kept quirk).
     """
-    def one_scale(cam_flow_fwd, cam_flow_bwd, flow_fwd, flow_bwd):
+    def one_scale(cam_flow_fwd, cam_flow_bwd, flow_fwd, flow_bwd, fw_pre):
         b, h, w, _ = cam_flow_fwd.shape
         tgt_s = _pool_to(tgt_img, h, w)
         ref_fwd_s = _pool_to(ref_img_fwd, h, w)
@@ -35,7 +39,8 @@ def consensus_exp_masks(cam_flows_fwd, cam_flows_bwd, flows_fwd, flows_bwd,
 
         cam_w_fwd = flow_warp(ref_fwd_s, cam_flow_fwd)
         cam_w_bwd = flow_warp(ref_bwd_s, cam_flow_bwd)
-        flow_w_fwd = flow_warp(ref_fwd_s, flow_fwd)
+        flow_w_fwd = fw_pre if fw_pre is not None else \
+            flow_warp(ref_fwd_s, flow_fwd)
 
         valid_cam = logical_or(_valid_pixels(cam_w_fwd),
                                _valid_pixels(cam_w_bwd))
@@ -51,7 +56,8 @@ def consensus_exp_masks(cam_flows_fwd, cam_flows_bwd, flows_fwd, flows_bwd,
         return (wrig * cam_err <= flow_err + EPSILON).astype(cam_err.dtype)
 
     return [one_scale(cam_flows_fwd[i], cam_flows_bwd[i],
-                      flows_fwd[i], flows_bwd[i])
+                      flows_fwd[i], flows_bwd[i],
+                      None if flow_warped_fwd is None else flow_warped_fwd[i])
             for i in range(len(cam_flows_fwd))]
 
 

@@ -112,27 +112,41 @@ def photometric_reconstruction_loss(
     return total
 
 
+def flow_warped_refs(ref_img, flows):
+    """Per-scale flow-warps of (the pooled) ref_img: [flow_warp(pool(ref),
+    f) for f in flows]. Shared between photometric_flow_loss and
+    consensus_exp_masks — the two losses warp the same ref with the same
+    flow at every scale (loss_functions.py:46 and :176 do it redundantly;
+    one gather instead of two, identical values)."""
+    return [flow_warp(_pool_to(ref_img, f.shape[1], f.shape[2]), f)
+            for f in flows]
+
+
 def photometric_flow_loss(tgt_img, ref_imgs, flows, explainability_mask,
-                          lambda_oob=0.0, qch=0.5, wssim=0.5):
+                          lambda_oob=0.0, qch=0.5, wssim=0.5,
+                          warped_refs=None):
     """Non-rigid photometric loss. Parity: loss_functions.py:27-77.
 
     `flows` is [flows_bwd, flows_fwd], each a list over scales of [B,h,w,2];
     `ref_imgs` is [ref_bwd, ref_fwd]; `explainability_mask` a list over
-    scales of [B,h,w,2] (or None entries).
+    scales of [B,h,w,2] (or None entries). `warped_refs`, if given, is a
+    matching [warped_bwd, warped_fwd] list of per-scale precomputed
+    flow_warped_refs results.
     """
     if not isinstance(flows[0], (list, tuple)):
         if explainability_mask is not None:
             explainability_mask = [explainability_mask]
         flows = [[uv] for uv in flows]
 
-    def one_scale(exp_mask, occ_masks, flows_s):
+    def one_scale(exp_mask, occ_masks, flows_s, warped_s):
         b, h, w, _ = flows_s[0].shape
         tgt_s = _pool_to(tgt_img, h, w)
         refs_s = [_pool_to(r, h, w) for r in ref_imgs]
 
         loss = 0.0
         for i, ref in enumerate(refs_s):
-            warped = flow_warp(ref, flows_s[i])
+            warped = (warped_s[i] if warped_s is not None
+                      else flow_warp(ref, flows_s[i]))
             valid = _valid_pixels(warped)
             diff = (tgt_s - warped) * valid
             ssim_loss = 1.0 - ssim(tgt_s, warped) * valid
@@ -157,5 +171,7 @@ def photometric_flow_loss(tgt_img, ref_imgs, flows, explainability_mask,
         occ_bw, occ_fw = occlusion_masks(flows_s[0], flows_s[1])
         occ = jnp.stack([occ_bw, occ_fw], axis=-1)
         exp_s = explainability_mask[s] if explainability_mask is not None else None
-        total = total + one_scale(exp_s, occ, flows_s)
+        warped_s = ([w[s] for w in warped_refs]
+                    if warped_refs is not None else None)
+        total = total + one_scale(exp_s, occ, flows_s, warped_s)
     return total

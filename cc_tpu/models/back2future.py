@@ -30,9 +30,15 @@ _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def _renormalize(im):
-    """(0.5,0.5)-normalized -> ImageNet-normalized (back2future.py:118-132)."""
-    im = im * 0.5 + 0.5
-    return (im - _IMAGENET_MEAN) / _IMAGENET_STD
+    """(0.5,0.5)-normalized -> ImageNet-normalized (back2future.py:118-132).
+
+    Constants are cast to the input dtype: fp32 numpy constants would
+    otherwise promote the whole net to fp32 under compute_dtype=bfloat16
+    (jnp type promotion is silent — this cost a 2x flow-net slowdown once).
+    """
+    im = im * jnp.asarray(0.5, im.dtype) + jnp.asarray(0.5, im.dtype)
+    return ((im - _IMAGENET_MEAN.astype(im.dtype))
+            / _IMAGENET_STD.astype(im.dtype))
 
 
 class FeatBlock(nn.Module):

@@ -67,6 +67,15 @@ def _apply_separable(img: jnp.ndarray, row_m: np.ndarray,
     return jnp.einsum("pw,bowc->bopc", cm, out)
 
 
+def _box_mean(img: jnp.ndarray, kh: int, kw: int) -> jnp.ndarray:
+    """Mean over non-overlapping kh x kw blocks of [B,H,W(,C)]."""
+    b, h, w = img.shape[:3]
+    if img.ndim == 3:
+        return img.reshape(b, h // kh, kh, w // kw, kw).mean(axis=(2, 4))
+    return img.reshape(b, h // kh, kh, w // kw, kw, img.shape[-1]).mean(
+        axis=(2, 4))
+
+
 def adaptive_avg_pool(img: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     """torch adaptive_avg_pool2d for NHWC (exact, incl. non-divisible sizes)."""
     h, w = img.shape[1], img.shape[2]
@@ -74,13 +83,20 @@ def adaptive_avg_pool(img: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     if (h, w) == (oh, ow):
         return img
     if h % oh == 0 and w % ow == 0:
-        # Divisible fast path (every pyramid level at 832x256): box mean via
-        # reshape — cheaper than the matmul and bit-identical.
+        # Divisible fast path (every pyramid level at 832x256): box mean.
+        # Pool by REPEATED HALVING while both factors are even — means of
+        # equal-size means are the exact block mean (within fp rounding),
+        # and each halving stage emits the same subgraph as the coarser
+        # pyramid levels' first stages, so XLA CSE shares the whole pooling
+        # pyramid across the loss stack instead of re-reading the full-res
+        # image once per scale (profiled 10.4 -> ~2 ms/step).
         kh, kw = h // oh, w // ow
-        if img.ndim == 3:
-            return img.reshape(img.shape[0], oh, kh, ow, kw).mean(axis=(2, 4))
-        return img.reshape(img.shape[0], oh, kh, ow, kw, img.shape[-1]).mean(
-            axis=(2, 4))
+        while kh % 2 == 0 and kw % 2 == 0 and (kh, kw) != (1, 1):
+            img = _box_mean(img, 2, 2)
+            kh, kw = kh // 2, kw // 2
+        if (kh, kw) != (1, 1):
+            img = _box_mean(img, kh, kw)
+        return img
     return _apply_separable(img, _adaptive_pool_matrix(h, oh),
                             _adaptive_pool_matrix(w, ow))
 

@@ -27,6 +27,12 @@ class TrainConfig:
     momentum: float = 0.9          # adam beta1
     beta: float = 0.999            # adam beta2
     weight_decay: float = 0.0
+    # Global-norm gradient clip, 0 = off (off matches the reference, which
+    # never clips). Extension for the bf16 compute path: bf16 gradient
+    # rounding noise can occasionally spike and run away (a deterministic
+    # blowup reproduced at step ~1736 of the 832x256 noise soak); clipping
+    # bounds those spikes. No effect on fp32 parity when left at 0.
+    clip_grad_norm: float = 0.0
 
     # loss weights (train.py:120-130)
     cam_photo_loss_weight: float = 1.0    # -pc  (w1)

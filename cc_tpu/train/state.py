@@ -55,6 +55,8 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     is identical across phases, so checkpoints resume across --fix-* changes
     (optax.multi_transform would change the state pytree per phase)."""
     chain = []
+    if cfg.clip_grad_norm:
+        chain.append(optax.clip_by_global_norm(cfg.clip_grad_norm))
     if cfg.weight_decay:
         chain.append(optax.add_decayed_weights(cfg.weight_decay))
     chain.append(optax.scale_by_adam(b1=cfg.momentum, b2=cfg.beta, eps=1e-8))

@@ -27,6 +27,7 @@ from cc_tpu.losses import (
     explainability_loss, photometric_flow_loss,
     photometric_reconstruction_loss, smooth_loss, spatial_normalize,
 )
+from cc_tpu.losses.photometric import flow_warped_refs
 from cc_tpu.parallel.mesh import batch_sharding, replicated_sharding
 from cc_tpu.train.config import TrainConfig
 from cc_tpu.train.state import CCModels, TrainState, apply_net, make_optimizer
@@ -155,16 +156,24 @@ def compute_losses(cfg: TrainConfig, outputs, batch):
                  + edge_aware_smoothness_loss(tgt, flow_bwd)
                  + edge_aware_smoothness_loss(tgt, exp_masks))
 
+    # The flow photometric loss and the consensus targets warp the SAME
+    # (pooled) refs with the SAME flows — compute those gathers once (the
+    # warp stack is DMA-issue-bound; see PARITY.md "Performance").
+    warped_refs = None
+    if w4 > 0 or w5 > 0:
+        warped_refs = [flow_warped_refs(refs[1], flow_bwd),
+                       flow_warped_refs(refs[2], flow_fwd)]
+
     loss4 = photometric_flow_loss(
         tgt, refs[1:3], [flow_bwd, flow_fwd], flow_exp_mask,
         lambda_oob=cfg.lambda_oob, qch=cfg.qch,
-        wssim=cfg.wssim) if w4 > 0 else zero
+        wssim=cfg.wssim, warped_refs=warped_refs) if w4 > 0 else zero
 
     if w5 > 0:
         exp_masks_target = consensus_exp_masks(
             flows_cam_fwd, flows_cam_bwd, flow_fwd, flow_bwd, tgt, refs[2],
             refs[1], wssim=cfg.wssim, wrig=cfg.wrig,
-            ws=cfg.smooth_loss_weight)
+            ws=cfg.smooth_loss_weight, flow_warped_fwd=warped_refs[1])
         loss5 = consensus_depth_flow_mask(
             exp_masks, rigidity_bwd, rigidity_fwd, exp_masks_target,
             exp_masks_target, THRESH=cfg.THRESH, wbce=cfg.wbce)

@@ -30,7 +30,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _sync(x):
+    # reduce to a scalar ON DEVICE first: device_get of a large array drags
+    # MBs through the slow remote D2H tunnel and inflates the timing
+    if getattr(x, "size", 1) > 1:
+        x = _scalarize(x)
     return float(np.asarray(jax.device_get(x)).ravel()[0])
+
+
+@jax.jit
+def _scalarize(x):
+    return jnp.sum(x.astype(jnp.float32))
 
 
 def bench(name, fn, *args, steps=20):
@@ -162,6 +171,28 @@ def main():
                     y, k, (1, 1), ((1, 0), (1, 0)), dimension_numbers=dn)
             return jnp.sum(y)
         bench("C4 s2d conv C64 x4", jax.jit(jax.grad(f)), x)
+
+    if "c6" in chosen:
+        # MXU control: ideal-shape conv (C 256->256 at 104x32) — if even
+        # this is slow, conv inefficiency is platform-wide, not layout
+        x = jnp.asarray(r.rand(B, 32, 104, 256).astype(np.float32))
+        k = jnp.asarray((r.rand(3, 3, 256, 256) - 0.5).astype(np.float32))
+        xb = x.astype(jnp.bfloat16)
+        kb = k.astype(jnp.bfloat16)
+        dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+
+        def f(x, k):
+            y = x
+            for _ in range(8):
+                y = jax.lax.conv_general_dilated(
+                    y, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn)
+            return jnp.sum(y.astype(jnp.float32))
+        t = bench("C6 MXU conv256 f32 x8", jax.jit(f), x, k)
+        gf = 8 * 2 * 9 * 256 * 256 * 32 * 104 * B / 1e9
+        print(f"   -> {gf/t/1e3:.1f} TFLOP/s fp32", flush=True)
+        t = bench("C6b MXU conv256 bf16 x8", jax.jit(f), xb, kb)
+        print(f"   -> {gf/t/1e3:.1f} TFLOP/s bf16", flush=True)
 
     if "c5" in chosen:
         from cc_tpu.train import (TrainConfig, make_models, init_state,

@@ -32,7 +32,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _sync(x):
+    # reduce large arrays to a scalar on device first (slow remote D2H)
+    if getattr(x, "size", 1) > 1:
+        x = _scalarize(x)
     return float(np.asarray(jax.device_get(x)).ravel()[0])
+
+
+@jax.jit
+def _scalarize(x):
+    return jnp.sum(x.astype(jnp.float32))
 
 
 def bench(name, fn, *args, steps=20):

@@ -150,7 +150,10 @@ class TestMeshParallel:
         mesh = make_mesh()
         step8 = build_train_step(mesh_cfg, mods, mesh=mesh, donate=False)
         s8, m8 = step8(state, shard_batch(batch, mesh))
-        assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-4
+        # relative tolerance: sharded reductions reorder fp32 sums, so the
+        # loss (~9 at init) matches to reduction-order rounding, not ulps
+        loss1 = float(m1["loss"])
+        assert abs(loss1 - float(m8["loss"])) < 1e-4 * max(1.0, abs(loss1))
         d1 = jax.tree_util.tree_leaves(s1.params["disp"])[0]
         d8 = jax.tree_util.tree_leaves(s8.params["disp"])[0]
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d8),
