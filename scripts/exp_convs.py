@@ -194,6 +194,21 @@ def main():
         t = bench("C6b MXU conv256 bf16 x8", jax.jit(f), xb, kb)
         print(f"   -> {gf/t/1e3:.1f} TFLOP/s bf16", flush=True)
 
+    if "c7" in chosen:
+        # ragged concat channels (decoder iconv inputs are 17/21/37-wide):
+        # does zero-padding C_in to a multiple of 8 remove layout copies?
+        for ci in (17, 24, 37, 40):
+            x = jnp.asarray(r.rand(B, 128, 416, ci).astype(np.float32))
+            k = jnp.asarray((r.rand(3, 3, ci, 32) - 0.5).astype(np.float32))
+            dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                                ("NHWC", "HWIO", "NHWC"))
+
+            def f(x, k):
+                y = jax.lax.conv_general_dilated(
+                    x, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn)
+                return jnp.sum(y)
+            bench(f"C7 conv ci={ci}", jax.jit(jax.grad(f)), x, k)
+
     if "c5" in chosen:
         from cc_tpu.train import (TrainConfig, make_models, init_state,
                                   build_train_step)

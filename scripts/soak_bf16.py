@@ -16,11 +16,12 @@ check = int(os.environ.get("CC_SOAK_CHECK", "100"))
 # tunnel — keep them coarse even when the scalar check is fine-grained
 snap = int(os.environ.get("CC_SOAK_SNAP", str(max(check, 100))))
 dtype = os.environ.get("CC_SOAK_DTYPE", "bfloat16")
+clip = float(os.environ.get("CC_SOAK_CLIP", "0"))
 cfg = TrainConfig(height=256, width=832, batch_size=4, wssim=0.997,
                   smoothness_type="edgeaware", mask_loss_weight=0.1,
                   flow_photo_loss_weight=0.5, cam_photo_loss_weight=1.0,
                   smooth_loss_weight=0.1, consensus_loss_weight=0.3,
-                  lr=1e-4, compute_dtype=dtype)
+                  lr=1e-4, compute_dtype=dtype, clip_grad_norm=clip)
 mods = make_models(cfg)
 state = init_state(cfg, jax.random.PRNGKey(0))
 step = build_train_step(cfg, mods, donate=True)
