@@ -1,0 +1,74 @@
+"""Multi-host (multi-process) initialization for pod-slice training.
+
+The reference is strictly single-process (torch.nn.DataParallel,
+train.py:300-303). The TPU-native scale-out path keeps the SAME mesh
+abstraction (parallel/mesh.py) — jax.devices() becomes the global device
+list after jax.distributed.initialize, the 1-D data mesh spans all hosts,
+and the jitted step is unchanged: XLA routes the gradient all-reduce over
+ICI within a slice and DCN across slices.
+
+What changes per process is only the data feed: each host loads the rows
+of the global batch that live on its local devices (process_batch_slice),
+and only process 0 writes checkpoints/logs.
+
+Untestable on this single-host environment beyond the no-op path; the
+arithmetic helpers are unit-tested with explicit (process_index,
+process_count) arguments.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> bool:
+    """Initialize multi-process JAX if a multi-host launch is detected.
+
+    Explicit arguments win; otherwise standard launcher env vars are used
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or the
+    TPU-pod metadata that jax.distributed.initialize auto-detects).
+    Returns True if distributed mode was initialized. Must be called
+    before any backend/device use.
+    """
+    explicit = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    on_pod = bool(os.environ.get("TPU_WORKER_HOSTNAMES")
+                  or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+    if not explicit and not on_pod:
+        return False
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
+def process_batch_slice(global_batch_size: int,
+                        process_index: int | None = None,
+                        process_count: int | None = None) -> slice:
+    """The rows of the global batch this process should load.
+
+    With the batch axis sharded over a 1-D mesh of all global devices (in
+    jax.devices() order = process-major), process p owns the contiguous
+    rows [p*B/P, (p+1)*B/P). B must divide evenly by the process count.
+    """
+    p = jax.process_index() if process_index is None else process_index
+    n = jax.process_count() if process_count is None else process_count
+    if global_batch_size % n:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by "
+            f"{n} processes")
+    per = global_batch_size // n
+    return slice(p * per, (p + 1) * per)
+
+
+def is_primary() -> bool:
+    """True on the process that should write checkpoints/logs."""
+    return jax.process_index() == 0
