@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="global-norm gradient clip; 0 = off (reference "
                         "parity). Recommended ~5.0 with --compute-dtype "
                         "bfloat16 (bounds rare bf16 gradient spikes)")
+    p.add_argument("--skip-nonfinite-updates", action="store_true",
+                   dest="skip_nonfinite_updates",
+                   help="drop optimizer updates with non-finite gradients "
+                        "(optax.apply_if_finite) — the standard mixed-"
+                        "precision guard; recommended with --compute-dtype "
+                        "bfloat16")
     p.add_argument("--print-freq", type=int, default=10)
     p.add_argument("--smoothness-type", choices=["edgeaware", "regular"],
                    default="regular")
@@ -125,6 +131,7 @@ def config_from_args(args):
         momentum=args.momentum, beta=args.beta,
         weight_decay=args.weight_decay,
         clip_grad_norm=args.clip_grad_norm,
+        skip_nonfinite_updates=args.skip_nonfinite_updates,
         cam_photo_loss_weight=args.cam_photo_loss_weight,
         mask_loss_weight=args.mask_loss_weight,
         smooth_loss_weight=args.smooth_loss_weight,

@@ -33,6 +33,16 @@ class TrainConfig:
     # blowup reproduced at step ~1736 of the 832x256 noise soak); clipping
     # bounds those spikes. No effect on fp32 parity when left at 0.
     clip_grad_norm: float = 0.0
+    # Skip optimizer updates whose gradients are non-finite (the standard
+    # mixed-precision guard, optax.apply_if_finite). bf16 backward can
+    # occasionally produce an inf/NaN gradient (e.g. a fully-OOB warp's
+    # 1/sum(valid)); without this guard one bad step poisons the params —
+    # and clip_grad_norm alone makes it WORSE (NaN global norm scales every
+    # net's update to NaN). Off by default = reference parity; recommended
+    # on (with clip ~5) for compute_dtype='bfloat16'. NOTE: changes the
+    # opt_state pytree (adds skip counters), so checkpoints do not resume
+    # across a change of this flag.
+    skip_nonfinite_updates: bool = False
 
     # loss weights (train.py:120-130)
     cam_photo_loss_weight: float = 1.0    # -pc  (w1)

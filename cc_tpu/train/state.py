@@ -62,6 +62,10 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     chain.append(optax.scale_by_adam(b1=cfg.momentum, b2=cfg.beta, eps=1e-8))
     chain.append(optax.scale(-cfg.lr))
     adam = optax.chain(*chain)
+    if cfg.skip_nonfinite_updates:
+        # mixed-precision guard: drop (don't apply) any update computed
+        # from non-finite grads; Adam moments are untouched on such steps
+        adam = optax.apply_if_finite(adam, max_consecutive_errors=100)
 
     frozen = {
         "disp": cfg.fix_dispnet, "pose": cfg.fix_posenet,
@@ -94,6 +98,9 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             if isinstance(new, optax.ScaleByAdamState):
                 return new._replace(mu=keep_frozen(old.mu, new.mu),
                                     nu=keep_frozen(old.nu, new.nu))
+            if hasattr(new, "inner_state"):  # e.g. ApplyIfFiniteState
+                return new._replace(
+                    inner_state=fix_state(old.inner_state, new.inner_state))
             if isinstance(new, tuple) and not hasattr(new, "_fields"):
                 return tuple(fix_state(o, n) for o, n in zip(old, new))
             return new

@@ -17,11 +17,13 @@ check = int(os.environ.get("CC_SOAK_CHECK", "100"))
 snap = int(os.environ.get("CC_SOAK_SNAP", str(max(check, 100))))
 dtype = os.environ.get("CC_SOAK_DTYPE", "bfloat16")
 clip = float(os.environ.get("CC_SOAK_CLIP", "0"))
+skipnf = os.environ.get("CC_SOAK_SKIPNF", "0") == "1"
 cfg = TrainConfig(height=256, width=832, batch_size=4, wssim=0.997,
                   smoothness_type="edgeaware", mask_loss_weight=0.1,
                   flow_photo_loss_weight=0.5, cam_photo_loss_weight=1.0,
                   smooth_loss_weight=0.1, consensus_loss_weight=0.3,
-                  lr=1e-4, compute_dtype=dtype, clip_grad_norm=clip)
+                  lr=1e-4, compute_dtype=dtype, clip_grad_norm=clip,
+                  skip_nonfinite_updates=skipnf)
 mods = make_models(cfg)
 state = init_state(cfg, jax.random.PRNGKey(0))
 step = build_train_step(cfg, mods, donate=True)
@@ -36,6 +38,9 @@ for i in range(8):
         "intrinsics_inv": jnp.asarray(np.linalg.inv(k))})
 t0 = time.time()
 last_good = None
+consec_bad = 0  # with skip_nonfinite_updates a transient nan LOSS is the
+                # guard working (update dropped); only persistent nan or
+                # non-finite PARAMS fail the soak
 last_snap_step = 0
 for i in range(steps):
     if (i % snap) == 0:
@@ -48,6 +53,17 @@ for i in range(steps):
         ok = np.isfinite(mh["loss"])
         print(f"step {i+1}: {mh} ({(i+1)/(time.time()-t0):.2f} steps/s)",
               flush=True)
+        if not ok and skipnf:
+            consec_bad += 1
+            pfinite = all(
+                bool(np.all(np.isfinite(np.asarray(x))))
+                for x in jax.tree_util.tree_leaves(
+                    jax.device_get(state).params))
+            print(f"  [skipnf] nan loss #{consec_bad}; params finite="
+                  f"{pfinite}", flush=True)
+            ok = pfinite and consec_bad < 3
+        elif ok:
+            consec_bad = 0
         if not ok:
             with open("/tmp/soak_last_good.pkl", "wb") as f:
                 pickle.dump({"state": last_good, "step": last_snap_step}, f)
