@@ -64,8 +64,15 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     adam = optax.chain(*chain)
     if cfg.skip_nonfinite_updates:
         # mixed-precision guard: drop (don't apply) any update computed
-        # from non-finite grads; Adam moments are untouched on such steps
-        adam = optax.apply_if_finite(adam, max_consecutive_errors=100)
+        # from non-finite grads; Adam moments are untouched on such steps.
+        # max_consecutive_errors is effectively infinite: optax's give-up-
+        # and-accept default poisons the params exactly when the failure is
+        # an ABSORBING state (e.g. a diverged pose warps fully out of
+        # bounds -> the reference's oob normalization divides by zero ->
+        # inf loss every step) — keeping params finite and the loss
+        # visibly stuck is strictly more debuggable than NaN params. The
+        # ApplyIfFiniteState.total_notfinite counter is the monitor.
+        adam = optax.apply_if_finite(adam, max_consecutive_errors=10**9)
 
     frozen = {
         "disp": cfg.fix_dispnet, "pose": cfg.fix_posenet,
