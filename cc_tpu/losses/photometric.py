@@ -55,6 +55,21 @@ def _valid_pixels(warped: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - allzero
 
 
+def _oob_norm(valid: jnp.ndarray) -> jnp.ndarray:
+    """numel/sum(valid) with a divide-by-zero barrier.
+
+    valid is exactly {0,1}-valued, so sum(valid) is integer-valued and
+    maximum(sum, 1) is BIT-IDENTICAL to the reference's numel()/sum()
+    (loss_functions.py:45,100) whenever the reference is defined (any
+    in-bounds pixel). The barrier only changes the undefined case — a warp
+    fully out of bounds, where the reference itself produces inf loss and
+    NaN gradients. There diff*valid == 0 everywhere, so the per-ref term
+    becomes ~0: a fully-OOB ref contributes nothing instead of collapsing
+    training into an absorbing non-finite state (observed in the bf16
+    soak; see PARITY.md "bf16 long-run stability")."""
+    return valid.size / jnp.maximum(jnp.sum(valid), 1.0)
+
+
 def _pool_to(img: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     from cc_tpu.ops.image import adaptive_avg_pool
     return adaptive_avg_pool(img, (h, w))
@@ -90,7 +105,7 @@ def photometric_reconstruction_loss(
             valid = _valid_pixels(warped)
             diff = (tgt_s - warped) * valid
             ssim_loss = 1.0 - ssim(tgt_s, warped) * valid
-            oob_norm = valid.size / jnp.sum(valid)
+            oob_norm = _oob_norm(valid)
 
             occ_i = 1.0 - occ_masks[..., i:i + 1]
             if exp_mask is not None:
@@ -150,7 +165,7 @@ def photometric_flow_loss(tgt_img, ref_imgs, flows, explainability_mask,
             valid = _valid_pixels(warped)
             diff = (tgt_s - warped) * valid
             ssim_loss = 1.0 - ssim(tgt_s, warped) * valid
-            oob_norm = valid.size / jnp.sum(valid)
+            oob_norm = _oob_norm(valid)
 
             if exp_mask is not None:
                 diff = diff * exp_mask[..., i:i + 1]
