@@ -15,6 +15,9 @@ parser.add_argument("--nlevels", type=int, default=6)
 parser.add_argument("--pretrained-flow", required=True)
 parser.add_argument("--dataset", default="kitti2015",
                     choices=["kitti2015", "kitti2012"])
+parser.add_argument("-N", type=int, default=200,
+                    help="number of KITTI2015 samples (reference hardcodes "
+                         "200; smaller values allow partial trees)")
 
 
 def main(argv=None):
@@ -33,7 +36,7 @@ def main(argv=None):
     tf = transforms.valid_flow_transform(256, 832)
     if args.dataset == "kitti2015":
         val_set = ValidationFlow(root=args.kitti_dir, sequence_length=5,
-                                 transform=tf)
+                                 transform=tf, N=args.N)
     else:
         val_set = ValidationFlowKitti2012(root=args.kitti_dir, transform=tf)
 
