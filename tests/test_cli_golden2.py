@@ -237,3 +237,80 @@ def test_mnist_train_then_eval_golden(mnist_data_dir, tmp_path, monkeypatch):
     # (total, alice, bob) error rates
     assert errors.shape == (3,) and np.all(np.isfinite(errors))
     assert np.all(errors >= 0.0) and np.all(errors <= 1.0)
+
+
+@pytest.fixture(scope="session")
+def kitti_raw_tree(tmp_path_factory):
+    """KITTI raw tree for the ETL: 1 date / 2 drives x 2 cams, oxts speed
+    above the 2 m/s filter, velodyne + calib for --with-gt."""
+    root = tmp_path_factory.mktemp("kitti_raw_etl")
+    rng = np.random.default_rng(9)
+    date = "2011_09_26"
+    ih, iw = 64, 128
+    fx = fy = 50.0
+    cx, cy = iw / 2.0, ih / 2.0
+    os.makedirs(str(root / date), exist_ok=True)
+    with open(root / date / "calib_cam_to_cam.txt", "w") as f:
+        f.write("R_rect_00: 1 0 0 0 1 0 0 0 1\n")
+        for cid in ("02", "03"):
+            f.write(f"P_rect_{cid}: {fx} 0 {cx} 0 0 {fy} {cy} 0 0 0 1 0\n")
+    r_vc = np.array([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+    with open(root / date / "calib_velo_to_cam.txt", "w") as f:
+        f.write("R: " + " ".join(map(str, r_vc.ravel())) + "\n")
+        f.write("T: 0 0 0\n")
+
+    us, vs = np.meshgrid(np.arange(6, iw - 6, 3), np.arange(20, ih - 2, 2))
+    us, vs = us.ravel().astype(np.float64), vs.ravel().astype(np.float64)
+    for drive in ("0001", "0005"):
+        d = root / date / f"{date}_drive_{drive}_sync"
+        for i in range(6):
+            for cid in ("02", "03"):
+                _write_png(d / f"image_{cid}" / "data" / f"{i:010d}.png",
+                           rng.integers(0, 255, (ih, iw, 3), dtype=np.uint8))
+            os.makedirs(str(d / "oxts" / "data"), exist_ok=True)
+            row = [0.0] * 30
+            row[8:11] = [5.0, 0.1, 0.0]
+            with open(d / "oxts" / "data" / f"{i:010d}.txt", "w") as f:
+                f.write(" ".join(map(str, row)) + "\n")
+            z = rng.uniform(5.0, 30.0, us.shape)
+            cam = np.stack([(us - cx) * z / fx, (vs - cy) * z / fy, z], 1)
+            velo = cam @ r_vc
+            pts = np.concatenate([velo, np.ones((len(velo), 1))], 1)
+            vd = d / "velodyne_points" / "data"
+            os.makedirs(str(vd), exist_ok=True)
+            pts.astype(np.float32).tofile(str(vd / f"{i:010d}.bin"))
+    return root
+
+
+def test_prepare_train_data_cli_golden(kitti_raw_tree, tmp_path):
+    """ETL end-to-end: raw tree -> dumped scenes (jpg + cam.txt + depth
+    npy) -> split files; train scenes have GT stripped, val keep it."""
+    from cc_tpu.cli.prepare_train_data import main
+    import glob as g
+    dump = tmp_path / "dump"
+    main([str(kitti_raw_tree), "--dataset-format", "kitti",
+          "--dump-root", str(dump), "--height", "64", "--width", "128",
+          "--with-gt", "--num-threads", "1"])
+    scenes = sorted(os.path.basename(p) for p in g.glob(str(dump / "*"))
+                    if os.path.isdir(p))
+    # 2 drives x 2 cams
+    assert scenes == ["2011_09_26_drive_0001_sync_02",
+                      "2011_09_26_drive_0001_sync_03",
+                      "2011_09_26_drive_0005_sync_02",
+                      "2011_09_26_drive_0005_sync_03"], scenes
+    train = (dump / "train.txt").read_text().split()
+    val = (dump / "val.txt").read_text().split()
+    assert sorted(train + val) == scenes and train
+    for s in scenes:
+        jpgs = g.glob(str(dump / s / "*.jpg"))
+        assert len(jpgs) == 6, (s, jpgs)
+        cam = (dump / s / "cam.txt").read_text()
+        assert cam.startswith("50.0")
+        npys = g.glob(str(dump / s / "*.npy"))
+        if s in train:
+            assert not npys  # strip_train_gt
+        else:
+            assert len(npys) == 6
+            depth = np.load(npys[0])
+            assert depth.shape == (64, 128)
+            assert (depth > 0).sum() > 50  # projected velodyne points land
