@@ -314,3 +314,42 @@ def test_prepare_train_data_cli_golden(kitti_raw_tree, tmp_path):
             depth = np.load(npys[0])
             assert depth.shape == (64, 128)
             assert (depth > 0).sum() > 50  # projected velodyne points land
+
+
+def test_prepare_train_data_cityscapes_golden(tmp_path):
+    """Cityscapes ETL path: leftImg8bit_sequence frames grouped into
+    connected sequences, 2x subsample, bottom-25% crop, camera-json
+    intrinsics rescaled."""
+    import json
+    import glob as g
+    from cc_tpu.cli.prepare_train_data import main
+
+    rng = np.random.default_rng(10)
+    root = tmp_path / "cs"
+    city_dir = root / "leftImg8bit_sequence" / "train" / "aachen"
+    for frame in range(8):
+        _write_png(city_dir / f"aachen_000042_{frame:06d}_leftImg8bit.png",
+                   rng.integers(0, 255, (96, 192, 3), dtype=np.uint8))
+    cam_dir = root / "camera" / "train" / "aachen"
+    os.makedirs(str(cam_dir), exist_ok=True)
+    with open(cam_dir / "aachen_000042_000000_camera.json", "w") as f:
+        json.dump({"intrinsic": {"fx": 120.0, "fy": 120.0,
+                                 "u0": 96.0, "v0": 48.0}}, f)
+
+    dump = tmp_path / "dump_cs"
+    main([str(root), "--dataset-format", "cityscapes",
+          "--dump-root", str(dump), "--height", "64", "--width", "128",
+          "--num-threads", "1"])
+    scenes = sorted(os.path.basename(p) for p in g.glob(str(dump / "*"))
+                    if os.path.isdir(p))
+    assert scenes == ["aachen_00"], scenes
+    jpgs = sorted(g.glob(str(dump / "aachen_00" / "*.jpg")))
+    assert len(jpgs) == 4  # 8 frames, 2x subsample
+    import cv2
+    img = cv2.imread(jpgs[0])
+    assert img.shape == (64, 128, 3)
+    cam = (dump / "aachen_00" / "cam.txt").read_text()
+    fx = float(cam.split(",")[0])
+    # fx rescaled by 128/192
+    assert abs(fx - 120.0 * 128 / 192) < 1e-3, fx
+    assert (dump / "train.txt").exists() and (dump / "val.txt").exists()
