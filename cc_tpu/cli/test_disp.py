@@ -77,7 +77,18 @@ def main(argv=None):
             nb_ref_imgs=seq_length - 1, output_exp=False)
 
     if args.dataset_list:
-        with open(args.dataset_list) as f:
+        list_path = args.dataset_list
+        if list_path in ("eigen", "stillbox"):
+            # packaged benchmark protocol lists (the reference ships these
+            # as kitti_eval/test_files_eigen.txt and
+            # stillbox_eval/test_files_90.txt)
+            import cc_tpu.data as _data
+            import os as _os
+            name = {"eigen": "test_files_eigen.txt",
+                    "stillbox": "test_files_90.txt"}[list_path]
+            list_path = _os.path.join(_os.path.dirname(_data.__file__),
+                                      "lists", name)
+        with open(list_path) as f:
             test_files = f.read().splitlines()
     else:
         import glob
