@@ -406,6 +406,8 @@ def main(argv=None):
             logger.valid_writer.write(" * Avg " + ", ".join(
                 f"{n} : {e:.3f}" for n, e in zip(flow_names, flow_errors)))
         if val_depth_loader is not None:
+            # depth validation iterates a different loader than flow's
+            logger.reset_valid_bar(len(val_depth_loader))
             depth_errors, depth_names = validate_depth(
                 cfg, mods, state, iter(val_depth_loader), fwd_disp,
                 term_logger=logger)

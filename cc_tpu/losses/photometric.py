@@ -55,19 +55,25 @@ def _valid_pixels(warped: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - allzero
 
 
-def _oob_norm(valid: jnp.ndarray) -> jnp.ndarray:
-    """numel/sum(valid) with a divide-by-zero barrier.
+def _oob_norm(valid: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(numel/sum(valid) with a divide-by-zero barrier, any-valid gate).
 
-    valid is exactly {0,1}-valued, so sum(valid) is integer-valued and
+    valid is exactly {0,1}-valued, so sum(valid) is integer-valued:
     maximum(sum, 1) is BIT-IDENTICAL to the reference's numel()/sum()
     (loss_functions.py:45,100) whenever the reference is defined (any
-    in-bounds pixel). The barrier only changes the undefined case — a warp
-    fully out of bounds, where the reference itself produces inf loss and
-    NaN gradients. There diff*valid == 0 everywhere, so the per-ref term
-    becomes ~0: a fully-OOB ref contributes nothing instead of collapsing
-    training into an absorbing non-finite state (observed in the bf16
-    soak; see PARITY.md "bf16 long-run stability")."""
-    return valid.size / jnp.maximum(jnp.sum(valid), 1.0)
+    in-bounds pixel), and the gate (sum > 0) is exactly 1.0 there — so
+    multiplying the per-ref photometric term by the gate changes nothing
+    in any defined case. Both only matter for a warp fully out of bounds,
+    where the reference itself produces inf loss and NaN gradients: the
+    barrier keeps the norm finite and the gate zeroes the WHOLE per-ref
+    term (the diff part is already zero via valid, but the SSIM part is
+    `1 - ssim*valid` = 1 everywhere and would otherwise contribute a
+    numel-scaled finite spike). Net effect: a fully-OOB ref contributes
+    exactly 0 instead of collapsing training into an absorbing non-finite
+    state (observed in the bf16 soak; PARITY.md "bf16 long-run
+    stability")."""
+    s = jnp.sum(valid)
+    return valid.size / jnp.maximum(s, 1.0), (s > 0).astype(valid.dtype)
 
 
 def _pool_to(img: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
@@ -105,7 +111,7 @@ def photometric_reconstruction_loss(
             valid = _valid_pixels(warped)
             diff = (tgt_s - warped) * valid
             ssim_loss = 1.0 - ssim(tgt_s, warped) * valid
-            oob_norm = _oob_norm(valid)
+            oob_norm, any_valid = _oob_norm(valid)
 
             occ_i = 1.0 - occ_masks[..., i:i + 1]
             if exp_mask is not None:
@@ -115,7 +121,7 @@ def photometric_reconstruction_loss(
                 diff = diff * occ_i
                 ssim_loss = ssim_loss * occ_i
 
-            loss = loss + (1 - wssim) * oob_norm * (
+            loss = loss + any_valid * (1 - wssim) * oob_norm * (
                 robust_l1(diff, q=qch) + wssim * jnp.mean(ssim_loss)
             ) + lambda_oob * robust_l1(1.0 - valid, q=qch)
         return loss
@@ -165,7 +171,7 @@ def photometric_flow_loss(tgt_img, ref_imgs, flows, explainability_mask,
             valid = _valid_pixels(warped)
             diff = (tgt_s - warped) * valid
             ssim_loss = 1.0 - ssim(tgt_s, warped) * valid
-            oob_norm = _oob_norm(valid)
+            oob_norm, any_valid = _oob_norm(valid)
 
             if exp_mask is not None:
                 diff = diff * exp_mask[..., i:i + 1]
@@ -174,7 +180,7 @@ def photometric_flow_loss(tgt_img, ref_imgs, flows, explainability_mask,
                 diff = diff * (1.0 - occ_masks[..., i:i + 1])
                 ssim_loss = ssim_loss * (1.0 - occ_masks[..., i:i + 1])
 
-            loss = loss + (1 - wssim) * oob_norm * (
+            loss = loss + any_valid * (1 - wssim) * oob_norm * (
                 robust_l1(diff, q=qch) + wssim * jnp.mean(ssim_loss)
             ) + lambda_oob * robust_l1(1.0 - valid, q=qch)
         return loss

@@ -42,12 +42,11 @@ def _blur_matrix(n: int, window_size: int, sigma: float) -> np.ndarray:
 
 def _depthwise_blur(x: jnp.ndarray, window_size: int, sigma: float
                     ) -> jnp.ndarray:
-    """Separable Gaussian with zero 'same' padding, NHWC, via MXU einsums."""
-    h, w = x.shape[1], x.shape[2]
-    mh = jnp.asarray(_blur_matrix(h, window_size, sigma), dtype=x.dtype)
-    mw = jnp.asarray(_blur_matrix(w, window_size, sigma), dtype=x.dtype)
-    x = jnp.einsum("oh,bhwc->bowc", mh, x)
-    return jnp.einsum("pw,bowc->bopc", mw, x)
+    """Separable Gaussian with zero 'same' padding, NHWC, via MXU einsums
+    (applied through ops.image's shared separable-matrix machinery)."""
+    from cc_tpu.ops.image import _apply_separable
+    return _apply_separable(x, _blur_matrix(x.shape[1], window_size, sigma),
+                            _blur_matrix(x.shape[2], window_size, sigma))
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 13,

@@ -78,7 +78,24 @@ def lib():
         so = build()
         if so is None:
             return None
-        l = ctypes.CDLL(so)
+        try:
+            l = ctypes.CDLL(so)
+        except OSError:
+            # a stale/foreign-ABI binary (e.g. different OpenCV soname):
+            # rebuild from source once, then honor the fallback contract
+            try:
+                os.remove(so)
+            except OSError:
+                pass
+            so = build()
+            if so is None:
+                return None
+            try:
+                l = ctypes.CDLL(so)
+            except OSError as e2:
+                print(f"cc_tpu.native: data plane unloadable "
+                      f"(falling back to Python pipeline): {e2}")
+                return None
         l.dp_process_sample.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(DpAug),
             ctypes.POINTER(ctypes.c_float)]

@@ -100,6 +100,10 @@ class TermLogger:
         self.train_bar = ProgressBar(self.train_size,
                                      self.train_bar_writer).start()
 
-    def reset_valid_bar(self):
+    def reset_valid_bar(self, size: int | None = None):
+        """Fresh validation bar; pass `size` when the next validation pass
+        iterates a different loader (e.g. depth after flow)."""
+        if size is not None:
+            self.valid_size = size
         self.valid_bar = ProgressBar(self.valid_size,
                                      self.valid_bar_writer).start()

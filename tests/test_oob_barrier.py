@@ -19,8 +19,9 @@ def test_barrier_bit_identical_when_defined():
             valid[0, 0, 0, 0] = 1.0
         v = jnp.asarray(valid)
         raw = v.size / jnp.sum(v)
-        np.testing.assert_array_equal(np.asarray(_oob_norm(v)),
-                                      np.asarray(raw))
+        norm, gate = _oob_norm(v)
+        np.testing.assert_array_equal(np.asarray(norm), np.asarray(raw))
+        assert float(gate) == 1.0  # defined case: gating is a no-op
 
 
 def test_fully_oob_flow_loss_is_finite_with_finite_grads():
@@ -39,9 +40,10 @@ def test_fully_oob_flow_loss_is_finite_with_finite_grads():
     val, grad = jax.value_and_grad(loss_fn)(10000.0)
     assert np.isfinite(float(val)), f"loss not finite: {val}"
     assert np.isfinite(float(grad)), f"grad not finite: {grad}"
-    # every pixel invalid -> diff term zeroed; only the constant SSIM-of-
-    # zeros part remains, and it must not be inf-scaled
-    assert float(val) < 1e6
+    # fully-OOB refs are gated to contribute EXACTLY nothing (the SSIM
+    # part is 1-ssim*valid = 1 everywhere and would otherwise spike the
+    # loss metric by ~numel on collapse steps)
+    assert float(val) == 0.0
 
 
 def test_partial_oob_matches_raw_formula():
