@@ -230,6 +230,7 @@ def main(argv=None):
         f.write("\npython3 " + " ".join(sys.argv))
 
     import jax
+    import jax.numpy as jnp
     from cc_tpu.data import (DataLoader, SequenceFolder, ValidationSet,
                              device_prefetch, transforms)
     from cc_tpu.data.validation import ValidationFlow
@@ -390,7 +391,11 @@ def main(argv=None):
                     f"Loss {losses} ({rate:.1f} im/s)")
             logger.train_bar.update(i + 1)
             n_iter += 1
-        train_loss = (float(np.mean([float(v) for v in epoch_losses]))
+        # one fetch for the whole epoch: per-scalar float(v) would be one
+        # blocking D2H round trip PER STEP (thousands of serialized RTTs
+        # on a remote-device tunnel)
+        train_loss = (float(np.mean(np.asarray(
+                          jax.device_get(jnp.stack(epoch_losses)))))
                       if epoch_losses else losses.avg[0])
         logger.train_writer.write(f" * Avg Loss : {train_loss:.3f}")
         logger.reset_valid_bar()

@@ -15,7 +15,31 @@ import numpy as np
 from cc_tpu.native import DpAug
 
 
-class NativeTrainPipeline:
+_LIB_UNSET = object()
+
+
+class _NativePipelineBase:
+    """Shared native-dispatch plumbing: the library handle is resolved ONCE
+    per pipeline (native.lib() takes a global lock on every call — not
+    something to pay per sample from loader worker threads)."""
+
+    _lib = _LIB_UNSET
+
+    def process(self, paths, rng, in_h: int, in_w: int, intrinsics):
+        """Full native decode+augment for one joint sample, or None when
+        the native plane is unavailable (caller uses .fallback)."""
+        if self._lib is _LIB_UNSET:
+            from cc_tpu import native
+            self._lib = native.lib()
+        if self._lib is None:
+            return None
+        aug, k = self.draw(rng, in_h, in_w, intrinsics)
+        imgs = process_sample(self._lib, paths, aug,
+                              *self.out_hw(in_h, in_w))
+        return imgs, k
+
+
+class NativeTrainPipeline(_NativePipelineBase):
     """Spec equivalent of transforms.train_transform(normalize, with_rotation)."""
 
     def __init__(self, normalize: str = "global", with_rotation: bool = True):
@@ -55,7 +79,7 @@ class NativeTrainPipeline:
         return in_h, in_w
 
 
-class NativeValidPipeline:
+class NativeValidPipeline(_NativePipelineBase):
     """Spec equivalent of transforms.valid_flow_transform(h, w) /
     valid_transform (h=w=0 -> no resize)."""
 
@@ -93,7 +117,13 @@ def process_sample(lib, paths: list[str], aug: DpAug, out_h: int,
     rc = lib.dp_process_sample(
         blob, len(paths), ctypes.byref(aug),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
-    if rc != 0:
+    if rc == 0:
+        return out
+    if -len(paths) <= rc <= -1:  # decode failure at image -rc-1
         raise FileNotFoundError(
             f"native decode failed (rc={rc}) for {paths[-rc - 1]}")
-    return out
+    if -1000 - len(paths) <= rc <= -1001:  # dimension mismatch at -(rc+1000)
+        raise ValueError(
+            f"native pipeline: image {paths[-(rc + 1000)]} has "
+            f"different dimensions than {paths[0]}")
+    raise RuntimeError(f"native pipeline failed (rc={rc}) for {paths}")

@@ -80,18 +80,17 @@ class SequenceFolder:
     def __getitem__(self, index):
         sample = self.samples[index]
         # native (C++) data plane: Python draws the aug parameters from the
-        # same rng sequence, C++ does decode+augment (GIL-free)
-        if hasattr(self.transform, "draw"):
-            from cc_tpu import native
-            lib = native.lib()
-            if lib is not None:
-                from cc_tpu.data.native_pipeline import process_sample
-                paths = [sample["tgt"]] + list(sample["ref_imgs"])
-                in_h, in_w = self._dims(sample["tgt"])
-                aug, k = self.transform.draw(self._rng(index), in_h, in_w,
-                                             np.copy(sample["intrinsics"]))
-                imgs = process_sample(lib, paths, aug,
-                                      *self.transform.out_hw(in_h, in_w))
+        # same rng sequence, C++ does decode+augment (GIL-free); the
+        # pipeline object owns the dispatch (and caches the lib handle)
+        native_process = getattr(self.transform, "process", None)
+        transform = self.transform
+        if native_process is not None:
+            in_h, in_w = self._dims(sample["tgt"])
+            result = native_process(
+                [sample["tgt"]] + list(sample["ref_imgs"]),
+                self._rng(index), in_h, in_w, np.copy(sample["intrinsics"]))
+            if result is not None:
+                imgs, k = result
                 return {
                     "tgt": imgs[0],
                     "refs": imgs[1:].copy(),
@@ -99,8 +98,6 @@ class SequenceFolder:
                     "intrinsics_inv": np.linalg.inv(k).astype(np.float32),
                 }
             transform = self.transform.fallback
-        else:
-            transform = self.transform
 
         tgt = load_image(sample["tgt"])
         refs = [load_image(p) for p in sample["ref_imgs"]]

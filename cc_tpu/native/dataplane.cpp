@@ -54,13 +54,19 @@ typedef struct {
 // Decode + augment one joint sample (n images share one dp_aug).
 // paths: n NUL-terminated strings back to back. out: [n, H, W, 3] float32
 // (H, W = final size). Returns 0 on success, negative error otherwise.
-int dp_process_sample(const char* paths, int n_imgs, const dp_aug* aug,
-                      float* out) {
+static int dp_process_sample_impl(const char* paths, int n_imgs,
+                                  const dp_aug* aug, float* out) {
   std::vector<cv::Mat> imgs(n_imgs);
   const char* p = paths;
   for (int i = 0; i < n_imgs; ++i) {
     cv::Mat bgr = cv::imread(p, cv::IMREAD_COLOR);
     if (bgr.empty()) return -1 - i;
+    // Every later stage (rotation warp, local-norm stats, output copy)
+    // indexes with imgs[0]'s dims; a mismatched frame would read out of
+    // bounds or throw a cv::Exception across the extern "C" boundary.
+    // Reject it cleanly instead (the Python fallback raises ValueError).
+    if (i > 0 && (bgr.rows != imgs[0].rows || bgr.cols != imgs[0].cols))
+      return -1000 - i;
     cv::Mat rgb;
     cv::cvtColor(bgr, rgb, cv::COLOR_BGR2RGB);
     rgb.convertTo(imgs[i], CV_32FC3);  // 0..255 float32, like load_image
@@ -165,6 +171,18 @@ int dp_process_sample(const char* paths, int n_imgs, const dp_aug* aug,
     }
   }
   return 0;
+}
+
+// No C++ exception may cross the extern "C" boundary (std::terminate):
+// cv:: ops can throw on degenerate inputs (e.g. a crop Rect outside a
+// stale-sized image) — map everything to an error code instead.
+int dp_process_sample(const char* paths, int n_imgs, const dp_aug* aug,
+                      float* out) {
+  try {
+    return dp_process_sample_impl(paths, n_imgs, aug, out);
+  } catch (...) {
+    return -9999;
+  }
 }
 
 // ---------------------------------------------------------------- pool

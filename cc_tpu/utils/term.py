@@ -101,9 +101,10 @@ class TermLogger:
                                      self.train_bar_writer).start()
 
     def reset_valid_bar(self, size: int | None = None):
-        """Fresh validation bar; pass `size` when the next validation pass
-        iterates a different loader (e.g. depth after flow)."""
-        if size is not None:
-            self.valid_size = size
-        self.valid_bar = ProgressBar(self.valid_size,
-                                     self.valid_bar_writer).start()
+        """Fresh validation bar; pass `size` as a ONE-SHOT override when
+        the next validation pass iterates a different loader (e.g. depth
+        after flow) — the default valid_size is left untouched so the
+        next epoch's flow bar keeps its own total."""
+        self.valid_bar = ProgressBar(
+            self.valid_size if size is None else size,
+            self.valid_bar_writer).start()

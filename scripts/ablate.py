@@ -26,8 +26,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/cc_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _sync(x):
-    return float(np.asarray(jax.device_get(x)).ravel()[0])
+from scripts._bench_util import sync as _sync  # noqa: E402
 
 
 def make_batch(cfg, b):

@@ -29,35 +29,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/cc_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _sync(x):
-    # reduce to a scalar ON DEVICE first: device_get of a large array drags
-    # MBs through the slow remote D2H tunnel and inflates the timing
-    if getattr(x, "size", 1) > 1:
-        x = _scalarize(x)
-    return float(np.asarray(jax.device_get(x)).ravel()[0])
-
-
-@jax.jit
-def _scalarize(x):
-    return jnp.sum(x.astype(jnp.float32))
-
-
-def bench(name, fn, *args, steps=20):
-    t0 = time.perf_counter()
-    out = fn(*args)
-    _sync(jax.tree_util.tree_leaves(out)[0])
-    compile_s = time.perf_counter() - t0
-    best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            out = fn(*args)
-        _sync(jax.tree_util.tree_leaves(out)[0])
-        dt = (time.perf_counter() - t0) / steps
-        best = dt if best is None else min(best, dt)
-    print(f"{name:26s} {best*1e3:9.3f} ms   (compile {compile_s:.0f}s)",
-          flush=True)
-    return best
+from scripts._bench_util import sync as _sync, bench  # noqa: E402
 
 
 r = np.random.RandomState(0)

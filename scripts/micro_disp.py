@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 from cc_tpu.models.layers import DownsampleConvBlock, ResLayer
 
-def sync(x): return float(np.asarray(jax.device_get(x)).ravel()[0])
+from scripts._bench_util import sync  # noqa: E402  (scalar-reduced D2H)
 
 ENC = (32, 64, 128, 256, 512, 512, 512)
 

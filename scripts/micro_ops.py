@@ -5,7 +5,7 @@ import jax, numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/cc_tpu_jax_cache")
 import jax.numpy as jnp
 
-def sync(x): return float(np.asarray(jax.device_get(x)).ravel()[0])
+from scripts._bench_util import sync  # noqa: E402  (scalar-reduced D2H)
 
 def bench(name, f, *args, iters=20, flops=None):
     g = jax.jit(f)

@@ -68,6 +68,9 @@ for i in range(steps):
         elif ok:
             consec_bad = 0
         if not ok:
+            if last_good is None:  # failed before any passing check:
+                last_good = last_good_candidate  # the step-0 snapshot
+                last_snap_step = snap_step_candidate
             with open("/tmp/soak_last_good.pkl", "wb") as f:
                 pickle.dump({"state": last_good, "step": last_snap_step}, f)
             for net, p in jax.device_get(state).params.items():

@@ -126,3 +126,25 @@ def test_pool_matches_sync(scene_dir):
     for p, out in zip(paths, outs):
         ref = process_sample(lib, [p], aug, 64, 128)
         np.testing.assert_array_equal(out, ref)
+
+
+def test_native_rejects_mismatched_dimensions(tmp_path):
+    """A ref frame with different dims must fail cleanly (ValueError), not
+    read out of bounds or throw a C++ exception across the ctypes
+    boundary (dataplane.cpp dimension check + extern-C try/catch)."""
+    import cv2
+    import numpy as np
+    import pytest
+    from cc_tpu import native
+    from cc_tpu.data.native_pipeline import NativeTrainPipeline
+
+    if native.lib() is None:
+        pytest.skip("native plane unavailable")
+    a, b = str(tmp_path / "a.jpg"), str(tmp_path / "b.jpg")
+    cv2.imwrite(a, np.zeros((32, 48, 3), np.uint8))
+    cv2.imwrite(b, np.zeros((16, 48, 3), np.uint8))
+    tf = NativeTrainPipeline("global", with_rotation=True)
+    with pytest.raises(ValueError, match="different dimensions"):
+        tf.process([a, b], np.random.default_rng(0), 32, 48, np.eye(3))
+    out = tf.process([a, a], np.random.default_rng(0), 32, 48, np.eye(3))
+    assert out is not None and out[0].shape == (2, 32, 48, 3)
