@@ -86,30 +86,65 @@ _WHEEL = _make_color_wheel()
 _UNKNOWN_FLOW_THRESH = 1e7
 
 
-def flow_to_image_logscale(flow: np.ndarray, scaledown: float = 6.0
-                           ) -> np.ndarray:
+def _make_logscale_wheel() -> np.ndarray:
+    """[55, 3] wheel in [0, 1] built with exact arange fractions — the
+    flow_viz variant (flow_viz.py:58-101) differs from the Middlebury wheel
+    (_WHEEL) by floor rounding; parity requires its own construction."""
+    RY, YG, GC, CB, BM, MR = 15, 6, 4, 11, 13, 6
+    wheel = np.zeros((RY + YG + GC + CB + BM + MR, 3))
+    col = 0
+    wheel[:RY, 0] = 1
+    wheel[:RY, 1] = np.arange(0, 1, 1. / RY)
+    col += RY
+    wheel[col:col + YG, 0] = np.arange(1, 0, -1. / YG)
+    wheel[col:col + YG, 1] = 1
+    col += YG
+    wheel[col:col + GC, 1] = 1
+    wheel[col:col + GC, 2] = np.arange(0, 1, 1. / GC)
+    col += GC
+    wheel[col:col + CB, 1] = np.arange(1, 0, -1. / CB)
+    wheel[col:col + CB, 2] = 1
+    col += CB
+    wheel[col:col + BM, 2] = 1
+    wheel[col:col + BM, 0] = np.arange(0, 1, 1. / BM)
+    col += BM
+    wheel[col:col + MR, 2] = np.arange(1, 0, -1. / MR)
+    wheel[col:col + MR, 0] = 1
+    return wheel
+
+
+_LOG_WHEEL = _make_logscale_wheel()
+
+
+def flow_to_image_logscale(flow: np.ndarray, scaledown: float = 6.0,
+                           logscale: bool = True) -> np.ndarray:
     """Alternative log-scale flow colorization
-    (parity: flowutils/flow_viz.py:12-55). HW2 -> HW3 uint8."""
+    (parity: flowutils/flow_viz.py:12-55, computeFlowImage). HW2 -> HW3
+    uint8, bit-exact with the reference."""
     flow = np.asarray(flow, np.float32)
     u, v = flow[..., 0], flow[..., 1]
-    radius = np.log(np.sqrt(u ** 2 + v ** 2) + 1.0) / scaledown
-    a = np.arctan2(-v, -u) / np.pi
-    ncols = len(_WHEEL)
-    fk = (a + 1) / 2 * (ncols - 1)
-    k0 = fk.astype(np.int32)
-    k1 = (k0 + 1) % ncols
+    radius = np.sqrt(u ** 2 + v ** 2)
+    if logscale:
+        radius = np.log(radius + 1)
+    radius = radius / scaledown
+    rot = np.arctan2(-v, -u) / np.pi
+    ncols = len(_LOG_WHEEL)
+    fk = (rot + 1) / 2 * (ncols - 1)
+    k0 = fk.astype(np.uint8)
+    k1 = k0.astype(np.int32) + 1
+    k1[k1 == ncols] = 0
     f = fk - k0
 
-    img = np.zeros(u.shape + (3,), np.uint8)
+    img = np.zeros(u.shape + (3,))
     for c in range(3):
-        col0 = _WHEEL[k0, c] / 255.0
-        col1 = _WHEEL[k1, c] / 255.0
+        col0 = _LOG_WHEEL[k0, c]
+        col1 = _LOG_WHEEL[k1, c]
         col = (1 - f) * col0 + f * col1
         inside = radius <= 1
         col[inside] = 1 - radius[inside] * (1 - col[inside])
         col[~inside] *= 0.75
         img[..., c] = np.floor(255 * col).astype(np.uint8)
-    return img
+    return img.astype(np.uint8)
 
 
 def flow_to_image(flow: np.ndarray) -> np.ndarray:
@@ -124,9 +159,11 @@ def flow_to_image(flow: np.ndarray) -> np.ndarray:
     v[idx_unknown] = 0
 
     rad = np.sqrt(u ** 2 + v ** 2)
-    maxrad = max(-1.0, float(rad.max()))
-    u = u / (maxrad + np.finfo(np.float32).eps)
-    v = v / (maxrad + np.finfo(np.float32).eps)
+    # the same expression as flowlib.py:214-219 (float64 eps) so numpy's
+    # promotion — and therefore every downstream floor() — matches exactly
+    maxrad = max(-1, np.max(rad))
+    u = u / (maxrad + np.finfo(float).eps)
+    v = v / (maxrad + np.finfo(float).eps)
 
     rad = np.sqrt(u ** 2 + v ** 2)
     a = np.arctan2(-v, -u) / np.pi
