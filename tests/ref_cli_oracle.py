@@ -1,0 +1,240 @@
+"""Run the reference's own eval CLIs in-process on CPU as metric oracles.
+
+The BASELINE north star is metric parity: the same checkpoint + dataset must
+produce abs_rel / EPE numbers matching the reference's eval scripts. The
+reference CLIs are torch-0.4-era code depending on packages absent or removed
+here (path.py, pypng, skimage, torchvision, blessings/progressbar,
+scipy.misc.imread/imresize). This module installs minimal shims for those
+imports — faithful where numerics matter (imresize's toimage/bytescale
+round-half-up, PIL-RGB imread, pypng 16-bit row iteration) — then imports the
+reference CLI and calls its main() with patched argv, capturing the printed
+metric rows.
+
+Read-only oracle use of /root/reference; nothing is copied into cc_tpu.
+"""
+from __future__ import annotations
+
+import contextlib
+import importlib
+import io
+import os
+import re
+import sys
+import types
+
+import numpy as np
+
+from tests.ref_compat import REFERENCE_PATH, _install_correlation_shim
+
+
+class RefPath(str):
+    """Minimal stand-in for path.py's Path (a str subclass)."""
+
+    def __div__(self, other):
+        return RefPath(os.path.join(str(self), str(other)))
+
+    __truediv__ = __div__
+
+    def joinpath(self, *parts):
+        return RefPath(os.path.join(str(self), *map(str, parts)))
+
+    def dirname(self):
+        return RefPath(os.path.dirname(str(self)))
+
+    def isfile(self):
+        return os.path.isfile(str(self))
+
+    def isdir(self):
+        return os.path.isdir(str(self))
+
+    def exists(self):
+        return os.path.exists(str(self))
+
+    def makedirs_p(self):
+        os.makedirs(str(self), exist_ok=True)
+        return self
+
+    def files(self, pattern="*"):
+        import glob
+        return [RefPath(p) for p in
+                sorted(glob.glob(os.path.join(str(self), pattern)))]
+
+    def relpathto(self, dest):
+        return RefPath(os.path.relpath(str(dest), str(self)))
+
+
+def _bytescale(data):
+    """old scipy.misc.bytescale: min-max to [0,255], round half up."""
+    data = np.asarray(data)
+    cmin, cmax = float(data.min()), float(data.max())
+    scale = 255.0 / (cmax - cmin) if cmax > cmin else 1.0
+    byte = (data - cmin) * scale
+    return (byte.clip(0, 255) + 0.5).astype(np.uint8)
+
+
+def _imread(path, mode=None):
+    from PIL import Image
+    im = Image.open(str(path))
+    if mode is not None:
+        im = im.convert(mode)
+    return np.asarray(im)
+
+
+def _imresize(arr, size, interp="bilinear", mode=None):
+    from PIL import Image
+    arr = np.asarray(arr)
+    img8 = arr if arr.dtype == np.uint8 else _bytescale(arr)
+    im = Image.fromarray(img8)
+    if isinstance(size, (int, float)):
+        raise NotImplementedError("fractional imresize not needed by oracle")
+    h, w = int(size[0]), int(size[1])
+    resample = {"nearest": Image.NEAREST, "bilinear": Image.BILINEAR,
+                "bicubic": Image.BICUBIC, "cubic": Image.BICUBIC,
+                "lanczos": Image.LANCZOS}[interp]
+    return np.asarray(im.resize((w, h), resample))
+
+
+def _imrotate(*a, **k):
+    raise NotImplementedError(
+        "scipy.misc.imrotate shim: only reachable from the train-time "
+        "RandomRotate transform, which the eval oracles never use")
+
+
+class _PngReader:
+    """pypng Reader shim good for flow_io.flow_read_png's asDirect() use."""
+
+    def __init__(self, fpath):
+        self.path = str(fpath)
+
+    def asDirect(self):
+        import cv2
+        img = cv2.imread(self.path, cv2.IMREAD_UNCHANGED)
+        assert img is not None, self.path
+        img = img[..., ::-1]  # cv2 BGR -> (u, v, valid) plane order
+        h, w = img.shape[:2]
+        rows = (img[r].reshape(-1) for r in range(h))
+        return w, h, rows, {}
+
+
+_installed = False
+
+
+def install_shims():
+    """Install era-dependency shims + CPU patches (idempotent)."""
+    global _installed
+    if _installed:
+        return
+    _installed = True
+
+    path_mod = types.ModuleType("path")
+    path_mod.Path = RefPath
+    sys.modules.setdefault("path", path_mod)
+
+    skimage = types.ModuleType("skimage")
+    skimage.transform = types.ModuleType("skimage.transform")
+    sys.modules.setdefault("skimage", skimage)
+    sys.modules.setdefault("skimage.transform", skimage.transform)
+
+    png_mod = types.ModuleType("png")
+    png_mod.Reader = _PngReader
+    sys.modules.setdefault("png", png_mod)
+
+    tv = types.ModuleType("torchvision")
+    tv.transforms = types.ModuleType("torchvision.transforms")
+
+    class _Unused:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, *a, **k):
+            raise NotImplementedError("torchvision shim is import-only")
+
+    tv.transforms.ToPILImage = _Unused
+    tv.transforms.ToTensor = _Unused
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.transforms", tv.transforms)
+
+    class _AnyAttrModule(types.ModuleType):
+        def __getattr__(self, name):
+            return _Unused
+
+    sys.modules.setdefault("blessings", _AnyAttrModule("blessings"))
+    sys.modules.setdefault("progressbar", _AnyAttrModule("progressbar"))
+
+    import scipy.misc as scipy_misc
+    scipy_misc.imread = _imread
+    scipy_misc.imresize = _imresize
+    scipy_misc.imrotate = _imrotate
+
+    # numpy-1.x scalar aliases removed in numpy 2 but used by the reference
+    # (e.g. depth_evaluation_utils.py:180 .astype(np.int)); module-dict
+    # entries take precedence over numpy's module __getattr__ tombstones
+    for name, alias in (("int", int), ("float", float), ("bool", bool),
+                        ("object", object)):
+        if not hasattr(np, name):
+            setattr(np, name, alias)
+
+    import torch
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    _install_correlation_shim()
+
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+
+
+def _patch_validation_flow_len(n: int):
+    """ValidationFlow.__len__ returns its N argument (200 by default) no
+    matter how many samples exist on disk; the reference CLIs construct it
+    without N, so cap it for tiny fixture trees."""
+    import datasets.validation_flow as vf
+    for cls_name in ("ValidationFlow", "ValidationMask",
+                     "ValidationFlowKitti2012"):
+        cls = getattr(vf, cls_name, None)
+        if cls is not None and not getattr(cls, "_oracle_capped", False):
+            orig_init = cls.__init__
+
+            def capped(self, *a, _orig=orig_init, **k):
+                k["N"] = min(k.get("N", 200), _patch_validation_flow_len.n)
+                _orig(self, *a, **k)
+
+            cls.__init__ = capped
+            cls._oracle_capped = True
+    _patch_validation_flow_len.n = n
+
+
+_patch_validation_flow_len.n = 200
+
+
+def run_reference_cli(module_name: str, argv: list[str],
+                      n_samples: int | None = None) -> str:
+    """Import a reference CLI module and run main() under no_grad with
+    patched argv; returns captured stdout."""
+    install_shims()
+    import torch
+    if n_samples is not None:
+        _patch_validation_flow_len(n_samples)
+    mod = importlib.import_module(module_name)
+    old_argv = sys.argv
+    sys.argv = [f"{module_name}.py"] + list(argv)
+    buf = io.StringIO()
+    try:
+        with torch.no_grad(), contextlib.redirect_stdout(buf):
+            mod.main()
+    finally:
+        sys.argv = old_argv
+    return buf.getvalue()
+
+
+def parse_metric_rows(text: str, n: int) -> list[np.ndarray]:
+    """Extract every line containing exactly n comma-separated floats."""
+    rows = []
+    for line in text.splitlines():
+        parts = [p.strip() for p in line.replace("Errors", "").split(",")]
+        try:
+            vals = [float(p) for p in parts if p]
+        except ValueError:
+            continue
+        if len(vals) == n:
+            rows.append(np.array(vals))
+    return rows
