@@ -132,12 +132,15 @@ def main(argv=None):
         errors_bare.update(mask_error(gt_mask, semantic,
                                       np.asarray(bare)[0, ..., 0]))
 
+    results = {}
     for title, e in (("Full Model", errors), ("Census only", errors_census),
                      ("Bare", errors_bare)):
         avg, bg, fg = _iou(e.sum)
+        results[title] = (avg, bg, fg)
         print(f"Results {title}")
         print("\t {:>10}, {:>10}, {:>10}".format("iou", "bg_iou", "fg_iou"))
         print(f"Errors \t {avg:10.4f}, {bg:10.4f} {fg:10.4f}")
+    return results
 
 
 if __name__ == "__main__":

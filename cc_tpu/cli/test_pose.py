@@ -59,9 +59,13 @@ def main(argv=None):
             im = cv2.resize(im, (args.img_width, args.img_height))
         return ((im / 255.0 - 0.5) / 0.5).astype(np.float32)
 
-    errors = []
-    predictions = []
-    for sample in framework:
+    # error/prediction arrays sized len(framework) == total IMAGE count and
+    # zero-filled, exactly like the reference (test_pose.py:43,49,96): only
+    # the n_snippets() leading rows get written, and mean/std run over the
+    # zero-padded full array — the published numbers inherit that quirk.
+    errors = np.zeros((len(framework), 2), np.float32)
+    predictions = np.zeros((len(framework), args.seq_length, 3, 4))
+    for j, sample in enumerate(framework):
         imgs = [prep(im) for im in sample["imgs"]]
         mid = len(imgs) // 2
         tgt = jnp.asarray(imgs[mid][None])
@@ -69,10 +73,8 @@ def main(argv=None):
             np.stack(imgs[:mid] + imgs[mid + 1:])[None])
         poses = np.asarray(fwd(tgt, refs))[0]
         final = snippet_poses_from_prediction(poses, args.rotation_mode)
-        predictions.append(final)
-        errors.append(compute_pose_error(sample["poses"], final))
-
-    errors = np.asarray(errors)
+        predictions[j] = final
+        errors[j] = compute_pose_error(sample["poses"], final)
     print("\nResults")
     print("\t {:>10}, {:>10}".format("ATE", "RE"))
     print("mean \t {:10.4f}, {:10.4f}".format(*errors.mean(0)))
@@ -81,7 +83,7 @@ def main(argv=None):
         import os
         os.makedirs(args.output_dir, exist_ok=True)
         np.save(os.path.join(args.output_dir, "predictions.npy"),
-                np.stack(predictions))
+                predictions)
     return errors.mean(0)
 
 

@@ -55,19 +55,20 @@ def main(argv=None):
             im = cv2.resize(im, (args.img_width, args.img_height))
         return ((im / 255.0 - 0.5) / 0.5).astype(np.float32)
 
-    res = []
-    preds = []
-    for sample in framework:
+    # zero-padded to len(framework) == total IMAGE count, like the
+    # reference (test_sintel_pose.py:49,96 + the framework's __len__ quirk,
+    # see eval/sintel.py): mean/std run over the padded array.
+    res = np.zeros(len(framework), np.float32)
+    preds = np.zeros((len(framework), args.seq_length, 3, 4))
+    for j, sample in enumerate(framework):
         imgs = [prep(im) for im in sample["imgs"]]
         mid = len(imgs) // 2
         tgt = jnp.asarray(imgs[mid][None])
         refs = jnp.asarray(np.stack(imgs[:mid] + imgs[mid + 1:])[None])
         poses = np.asarray(fwd(tgt, refs))[0]
         final = snippet_poses_from_prediction(poses, args.rotation_mode)
-        preds.append(final)
-        res.append(compute_rotation_error(sample["poses"], final))
-
-    res = np.asarray(res)
+        preds[j] = final
+        res[j] = compute_rotation_error(sample["poses"], final)
     print("\nResults\n\t {:>10}".format("RE"))
     print(f"mean \t {res.mean():10.4f}")
     print(f"std \t {res.std():10.4f}")
@@ -75,7 +76,7 @@ def main(argv=None):
         import os
         os.makedirs(args.output_dir, exist_ok=True)
         np.save(os.path.join(args.output_dir, "predictions.npy"),
-                np.stack(preds))
+                preds)
     return res.mean()
 
 

@@ -32,6 +32,15 @@ class KittiOdomFramework:
             self.sequences.append((imgs, poses, shift_range + tgt))
 
     def __len__(self):
+        # QUIRK KEPT: the reference counts IMAGES, not snippets
+        # (pose_evaluation_utils.py:33-34), and test_pose.py:43,96 sizes its
+        # error array with it and means over the zero-padded rows — so the
+        # published ATE/RE are averaged over len(imgs), with the
+        # 2*demi_length boundary rows left at exactly 0. Reproduced for
+        # metric parity (tests/test_eval_parity.py::test_pose_metric_parity).
+        return sum(len(imgs) for imgs, _, _ in self.sequences)
+
+    def n_snippets(self):
         return sum(len(idx) for _, _, idx in self.sequences)
 
     def __iter__(self):

@@ -59,6 +59,14 @@ class SintelPoseFramework:
             self.sequences.append((imgs, cams, shift_range + tgt))
 
     def __len__(self):
+        # QUIRK KEPT: the reference counts IMAGES, not snippets
+        # (sintel_eval/pose_evaluation_utils.py:33-34); test_sintel_pose.py
+        # sizes RE with it and means over the zero-padded tail rows — the
+        # published RE inherits that (same quirk as the KITTI pose eval,
+        # see eval/kitti_pose.py).
+        return sum(len(imgs) for imgs, _, _ in self.sequences)
+
+    def n_snippets(self):
         return sum(len(idx) for _, _, idx in self.sequences)
 
     def __iter__(self):

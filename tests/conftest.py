@@ -33,3 +33,11 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # stall collectives until XLA's stuck-check aborts the process).
 jax.config.update("jax_compilation_cache_dir", "/tmp/cc_tpu_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# Initialize the backend NOW, locking the platform choice in. Without this,
+# a test that imports a cc_tpu.cli module before any jax use would let
+# cli/__init__.py re-apply a JAX_PLATFORMS env var (the driver environment
+# exports JAX_PLATFORMS=axon) and silently move the whole test process onto
+# the remote TPU — where big programs fail the remote-compile size limit
+# and compile caches cross profiles.
+assert jax.default_backend() == "cpu" and len(jax.devices()) == 8

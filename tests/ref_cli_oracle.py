@@ -57,10 +57,27 @@ class RefPath(str):
     def files(self, pattern="*"):
         import glob
         return [RefPath(p) for p in
-                sorted(glob.glob(os.path.join(str(self), pattern)))]
+                sorted(glob.glob(os.path.join(str(self), pattern)))
+                if os.path.isfile(p)]
+
+    def dirs(self, pattern="*"):
+        import glob
+        return [RefPath(p) for p in
+                sorted(glob.glob(os.path.join(str(self), pattern)))
+                if os.path.isdir(p)]
 
     def relpathto(self, dest):
         return RefPath(os.path.relpath(str(dest), str(self)))
+
+    @property
+    def name(self):
+        return RefPath(os.path.basename(str(self)))
+
+    def basename(self):
+        return RefPath(os.path.basename(str(self)))
+
+    def stripext(self):
+        return RefPath(os.path.splitext(str(self))[0])
 
 
 def _bytescale(data):
@@ -116,6 +133,22 @@ class _PngReader:
         return w, h, rows, {}
 
 
+class _PngWriter:
+    """pypng Writer shim good for flow_io.flow_write_png's 16-bit use."""
+
+    def __init__(self, width, height, bitdepth=16, planes=3, **k):
+        assert bitdepth == 16 and planes == 3
+        self.width, self.height = width, height
+
+    def write(self, fil, rows):
+        import cv2
+        arr = np.asarray(list(rows), dtype=np.uint16).reshape(
+            self.height, self.width, 3)
+        ok, buf = cv2.imencode(".png", arr[..., ::-1])  # RGB -> cv2 BGR
+        assert ok
+        fil.write(buf.tobytes())
+
+
 _installed = False
 
 
@@ -137,6 +170,7 @@ def install_shims():
 
     png_mod = types.ModuleType("png")
     png_mod.Reader = _PngReader
+    png_mod.Writer = _PngWriter
     sys.modules.setdefault("png", png_mod)
 
     tv = types.ModuleType("torchvision")
@@ -156,6 +190,8 @@ def install_shims():
 
     class _AnyAttrModule(types.ModuleType):
         def __getattr__(self, name):
+            if name.startswith("__"):  # keep inspect/import machinery sane
+                raise AttributeError(name)
             return _Unused
 
     sys.modules.setdefault("blessings", _AnyAttrModule("blessings"))
@@ -169,10 +205,22 @@ def install_shims():
     # numpy-1.x scalar aliases removed in numpy 2 but used by the reference
     # (e.g. depth_evaluation_utils.py:180 .astype(np.int)); module-dict
     # entries take precedence over numpy's module __getattr__ tombstones
-    for name, alias in (("int", int), ("float", float), ("bool", bool),
-                        ("object", object)):
-        if not hasattr(np, name):
+    for name, alias in (("int", int), ("float", float), ("bool", bool)):
+        if name not in np.__dict__:
             setattr(np, name, alias)
+
+    # numpy 1.x accepted generators in np.stack (deprecated); the reference
+    # relies on it (pose_evaluation_utils.py:20). Identical for sequences.
+    if not getattr(np.stack, "_oracle_lenient", False):
+        orig_stack = np.stack
+
+        def lenient_stack(arrays, *a, **k):
+            if not hasattr(arrays, "__getitem__"):
+                arrays = list(arrays)
+            return orig_stack(arrays, *a, **k)
+
+        lenient_stack._oracle_lenient = True
+        np.stack = lenient_stack
 
     import torch
     torch.Tensor.cuda = lambda self, *a, **k: self
@@ -183,37 +231,44 @@ def install_shims():
         sys.path.insert(0, REFERENCE_PATH)
 
 
-def _patch_validation_flow_len(n: int):
+def _patch_validation_flow_len(n: int, root: str | None = None):
     """ValidationFlow.__len__ returns its N argument (200 by default) no
-    matter how many samples exist on disk; the reference CLIs construct it
-    without N, so cap it for tiny fixture trees."""
+    matter how many samples exist on disk — and test_back2future.py even
+    hardcodes the author's dataset root — so cap N (and optionally override
+    root) for tiny fixture trees."""
     import datasets.validation_flow as vf
     for cls_name in ("ValidationFlow", "ValidationMask",
-                     "ValidationFlowKitti2012"):
+                     "ValidationFlowKitti2012", "KITTI2015Test"):
         cls = getattr(vf, cls_name, None)
         if cls is not None and not getattr(cls, "_oracle_capped", False):
             orig_init = cls.__init__
 
             def capped(self, *a, _orig=orig_init, **k):
                 k["N"] = min(k.get("N", 200), _patch_validation_flow_len.n)
+                if _patch_validation_flow_len.root is not None:
+                    k["root"] = _patch_validation_flow_len.root
+                    a = ()
                 _orig(self, *a, **k)
 
             cls.__init__ = capped
             cls._oracle_capped = True
     _patch_validation_flow_len.n = n
+    _patch_validation_flow_len.root = root
 
 
 _patch_validation_flow_len.n = 200
+_patch_validation_flow_len.root = None
 
 
 def run_reference_cli(module_name: str, argv: list[str],
-                      n_samples: int | None = None) -> str:
+                      n_samples: int | None = None,
+                      dataset_root: str | None = None) -> str:
     """Import a reference CLI module and run main() under no_grad with
     patched argv; returns captured stdout."""
     install_shims()
     import torch
-    if n_samples is not None:
-        _patch_validation_flow_len(n_samples)
+    if n_samples is not None or dataset_root is not None:
+        _patch_validation_flow_len(n_samples or 200, dataset_root)
     mod = importlib.import_module(module_name)
     old_argv = sys.argv
     sys.argv = [f"{module_name}.py"] + list(argv)
@@ -227,14 +282,12 @@ def run_reference_cli(module_name: str, argv: list[str],
 
 
 def parse_metric_rows(text: str, n: int) -> list[np.ndarray]:
-    """Extract every line containing exactly n comma-separated floats."""
+    """Extract every line containing exactly n float literals (metric rows
+    like 'Errors \\t 0.1, 0.2' or 'mean \\t 0.1, 0.2')."""
     rows = []
     for line in text.splitlines():
-        parts = [p.strip() for p in line.replace("Errors", "").split(",")]
-        try:
-            vals = [float(p) for p in parts if p]
-        except ValueError:
-            continue
+        vals = [float(x) for x in
+                re.findall(r"-?\d+\.\d+(?:[eE][+-]?\d+)?", line)]
         if len(vals) == n:
             rows.append(np.array(vals))
     return rows

@@ -21,6 +21,7 @@ from tests.ref_compat import reference_available
 # fresh-init reference checkpoints)
 from tests.test_cli_golden import (  # noqa: F401
     H, W, ckpt_dir, eigen_dir, _rand_rgb, _ref_models, _write_png)
+from tests.test_cli_golden2 import odometry_dir, sintel_dir  # noqa: F401
 
 pytestmark = pytest.mark.skipif(not reference_available(),
                                 reason="reference/torch unavailable")
@@ -42,36 +43,39 @@ def kitti2015_832_dir(tmp_path_factory):
 
     root = tmp_path_factory.mktemp("kitti2015_832")
     rng = np.random.default_rng(7)
-    for idx in range(2):
-        i6 = str(idx).zfill(6)
-        mv = root / "data_scene_flow_multiview" / "training" / "image_2"
-        for frame in range(8, 13):
-            img = _rand_rgb(rng, FH, FW)
-            img[0, 0] = 0    # pin min/max so the reference's float-input
-            img[0, 1] = 255  # imresize (toimage bytescale) is an identity
-            _write_png(mv / f"{i6}_{str(frame).zfill(2)}.png", img)
-        calib = root / "data_scene_flow_calib" / "training" \
-            / "calib_cam_to_cam" / f"{i6}.txt"
-        import os
-        os.makedirs(os.path.dirname(str(calib)), exist_ok=True)
-        k = [250.0, 0.0, FW / 2, 0.0,
-             0.0, 250.0, FH / 2, 0.0,
-             0.0, 0.0, 1.0, 0.0]
-        with open(calib, "w") as f:
-            f.write("P_rect_02: " + " ".join(map(str, k)) + "\n")
-        u = rng.uniform(-10, 10, (FH, FW))
-        v = rng.uniform(-5, 5, (FH, FW))
-        fo = root / "data_scene_flow" / "training" / "flow_occ"
-        os.makedirs(str(fo), exist_ok=True)
-        flow_write_png(str(fo / f"{i6}_10.png"), u, v)
-        obj = np.zeros((FH, FW), np.uint8)
-        obj[FH // 2:, FW // 2:] = 1
-        _write_png(root / "data_scene_flow" / "training" / "obj_map"
-                   / f"{i6}_10.png", obj)
-        sem = np.full((FH, FW), 7, np.uint8)
-        sem[FH // 2:, :] = 26
-        _write_png(root / "semantic_labels" / "training" / "semantic"
-                   / f"{i6}_10.png", sem)
+    import os
+    for phase in ("training", "testing"):
+        for idx in range(2):
+            i6 = str(idx).zfill(6)
+            mv = root / "data_scene_flow_multiview" / phase / "image_2"
+            for frame in range(8, 13):
+                img = _rand_rgb(rng, FH, FW)
+                img[0, 0] = 0   # pin min/max so the reference's float-input
+                img[0, 1] = 255  # imresize (toimage bytescale) is an identity
+                _write_png(mv / f"{i6}_{str(frame).zfill(2)}.png", img)
+            calib = root / "data_scene_flow_calib" / phase \
+                / "calib_cam_to_cam" / f"{i6}.txt"
+            os.makedirs(os.path.dirname(str(calib)), exist_ok=True)
+            k = [250.0, 0.0, FW / 2, 0.0,
+                 0.0, 250.0, FH / 2, 0.0,
+                 0.0, 0.0, 1.0, 0.0]
+            with open(calib, "w") as f:
+                f.write("P_rect_02: " + " ".join(map(str, k)) + "\n")
+            if phase != "training":
+                continue
+            u = rng.uniform(-10, 10, (FH, FW))
+            v = rng.uniform(-5, 5, (FH, FW))
+            fo = root / "data_scene_flow" / "training" / "flow_occ"
+            os.makedirs(str(fo), exist_ok=True)
+            flow_write_png(str(fo / f"{i6}_10.png"), u, v)
+            obj = np.zeros((FH, FW), np.uint8)
+            obj[FH // 2:, FW // 2:] = 1
+            _write_png(root / "data_scene_flow" / "training" / "obj_map"
+                       / f"{i6}_10.png", obj)
+            sem = np.full((FH, FW), 7, np.uint8)
+            sem[FH // 2:, :] = 26
+            _write_png(root / "semantic_labels" / "training" / "semantic"
+                       / f"{i6}_10.png", sem)
     return root
 
 
@@ -119,3 +123,152 @@ def test_flow_metric_parity(ckpt_dir, kitti2015_832_dir):
     rows = parse_metric_rows(out, 8)
     assert len(rows) == 1, out
     np.testing.assert_allclose(np.asarray(mine), rows[0], **TOL)
+
+
+def test_pose_metric_parity(ckpt_dir, odometry_dir):
+    """Same PoseNetB6 ckpt, same KITTI-odometry tree: 5-frame snippet
+    ATE/RE (mean and std) must match the reference's test_pose.py."""
+    from cc_tpu.cli.test_pose import main as my_main
+    from tests.ref_cli_oracle import parse_metric_rows, run_reference_cli
+
+    args = [str(ckpt_dir / "posenet_model_best.pth.tar"),
+            "--posenet", "PoseNetB6", "--dataset-dir", str(odometry_dir),
+            "--sequences", "09",
+            "--img-height", str(H), "--img-width", str(W)]
+    mine = my_main(args)
+    out = run_reference_cli("test_pose", args)
+    rows = parse_metric_rows(out, 2)  # [mean, std]
+    assert len(rows) == 2, out
+    np.testing.assert_allclose(np.asarray(mine), rows[0], **TOL)
+
+
+def test_sintel_pose_metric_parity(ckpt_dir, sintel_dir):
+    """MPI-Sintel snippet rotation error vs test_sintel_pose.py (same
+    image-count zero-padded mean quirk as KITTI pose)."""
+    from cc_tpu.cli.test_sintel_pose import main as my_main
+    from tests.ref_cli_oracle import parse_metric_rows, run_reference_cli
+
+    args = [str(ckpt_dir / "posenet_model_best.pth.tar"),
+            "--posenet", "PoseNetB6", "--dataset-dir", str(sintel_dir),
+            "--sequences", "alley_1",
+            "--img-height", str(H), "--img-width", str(W)]
+    mine = my_main(args)
+    out = run_reference_cli("test_sintel_pose", args)
+    rows = parse_metric_rows(out, 1)  # [mean, std]
+    assert len(rows) >= 2, out
+    np.testing.assert_allclose(mine, rows[0][0], **TOL)
+
+
+def test_mask_metric_parity(ckpt_dir, kitti2015_832_dir):
+    """Same 4-net checkpoints, same KITTI2015 tree: motion-segmentation IoU
+    (full model / census only / bare M, each avg/bg/fg) must match the
+    reference's test_mask.py."""
+    import re as _re
+
+    from cc_tpu.cli.test_mask import main as my_main
+    from tests.ref_cli_oracle import run_reference_cli
+
+    ckpts = [
+        "--pretrained-disp", str(ckpt_dir / "dispnet_model_best.pth.tar"),
+        "--pretrained-pose", str(ckpt_dir / "posenet_model_best.pth.tar"),
+        "--pretrained-mask", str(ckpt_dir / "masknet_model_best.pth.tar"),
+        "--pretrained-flow", str(ckpt_dir / "flownet_model_best.pth.tar"),
+    ]
+    mine = my_main(ckpts + ["--kitti-dir", str(kitti2015_832_dir),
+                            "-N", "2"])
+    out = run_reference_cli(
+        "test_mask", ckpts + ["--kitti-dir", str(kitti2015_832_dir)],
+        n_samples=2)
+    # reference prints "Errors \t {avg:10.4f}, {bg:10.4f} {fg:10.4f}" under
+    # "Results <title>" headers (comma/space mixed — regex the floats)
+    ref = {}
+    title = None
+    for line in out.splitlines():
+        m = _re.match(r"Results (.+)", line.strip())
+        if m:
+            title = m.group(1).strip()
+        elif line.strip().startswith("Errors") and title:
+            ref[title] = [float(x) for x in
+                          _re.findall(r"-?\d+\.\d+", line)]
+    assert set(ref) == {"Full Model", "Census only", "Bare"}, out
+    for title, vals in ref.items():
+        np.testing.assert_allclose(np.asarray(mine[title]),
+                                   np.asarray(vals), **TOL)
+
+
+def test_back2future_metric_parity(ckpt_dir, kitti2015_832_dir):
+    """Flow-only EPE/outlier metrics vs test_back2future.py (which
+    hardcodes its dataset root — the oracle overrides it)."""
+    import re as _re
+
+    from cc_tpu.cli.test_back2future import main as my_main
+    from tests.ref_cli_oracle import run_reference_cli
+
+    ckpt = str(ckpt_dir / "flownet_model_best.pth.tar")
+    mine = my_main(["--kitti-dir", str(kitti2015_832_dir),
+                    "--pretrained-flow", ckpt, "--nlevels", "6", "-N", "2"])
+    out = run_reference_cli("test_back2future",
+                            ["--pretrained-flow", ckpt, "--nlevels", "6"],
+                            n_samples=2,
+                            dataset_root=str(kitti2015_832_dir))
+    # reference prints: Averge EPE [f1, f2, f3, f4]
+    m = [l for l in out.splitlines() if "EPE" in l]
+    assert m, out
+    ref = [float(x) for x in _re.findall(r"-?\d+\.\d+(?:e-?\d+)?", m[-1])]
+    assert len(ref) == 4, m
+    np.testing.assert_allclose(np.asarray(mine), np.asarray(ref), **TOL)
+
+
+def test_evaluate_flow_parity(tmp_path):
+    """Pure-numpy EPE/Fl between dumped flow dirs vs evaluate_flow.py."""
+    from cc_tpu.cli.evaluate_flow import main as my_main
+    from cc_tpu.utils.flow_io import flow_write_png
+    from tests.ref_cli_oracle import parse_metric_rows, run_reference_cli
+
+    rng = np.random.default_rng(11)
+    gt_dir, out_dir = tmp_path / "gt", tmp_path / "pred"
+    gt_dir.mkdir(), out_dir.mkdir()
+    for i in range(2):
+        name = str(i).zfill(6) + "_10.png"
+        u, v = rng.uniform(-20, 20, (40, 60)), rng.uniform(-8, 8, (40, 60))
+        valid = (rng.random((40, 60)) > 0.3).astype(np.uint16)
+        flow_write_png(str(gt_dir / name), u, v, valid)
+        du, dv = rng.normal(0, 3, (40, 60)), rng.normal(0, 3, (40, 60))
+        flow_write_png(str(out_dir / name), u + du, v + dv)
+    args = ["--output-dir", str(out_dir), "--gt-dir", str(gt_dir),
+            "-N", "2"]
+    mine = my_main(args)
+    out = run_reference_cli("evaluate_flow", args)
+    rows = parse_metric_rows(out, 2)
+    assert len(rows) == 1, out
+    np.testing.assert_allclose(np.asarray(mine), rows[0], **TOL)
+
+
+def test_submit_flow_file_parity(ckpt_dir, kitti2015_832_dir, tmp_path):
+    """Benchmark-submission artifacts: the 16-bit KITTI pngs and .flo files
+    written by cli/submit_flow must match the reference's submit_flow.py
+    byte-for-byte (u/v quantized to 1/64 px absorbs fp noise)."""
+    from cc_tpu.cli.submit_flow import main as my_main
+    from cc_tpu.utils.flow_io import flow_read_flo, flow_read_png
+    from tests.ref_cli_oracle import run_reference_cli
+
+    my_out = tmp_path / "mine"
+    ref_out = tmp_path / "ref"
+    my_main([str(ckpt_dir), "--kitti-dir", str(kitti2015_832_dir),
+             "--output-dir", str(my_out), "-N", "2"])
+    run_reference_cli("submit_flow",
+                      ["--pretrained-path", str(ckpt_dir),
+                       "--kitti-dir", str(kitti2015_832_dir),
+                       "--output-dir", str(ref_out)],
+                      n_samples=2)
+    for i in range(2):
+        name = str(i).zfill(6) + "_10"
+        a = flow_read_png(str(my_out / "testing" / f"{name}.png"))
+        b = flow_read_png(str(ref_out / "testing" / f"{name}.png"))
+        for c in (0, 1):  # u, v: identical up to the codec's 1/64-px
+            diff = np.abs(a[c] - b[c])  # quantum at fp32 rounding edges
+            assert diff.max() <= 1 / 64 + 1e-9, diff.max()
+            assert (diff > 0).mean() < 0.01, (diff > 0).mean()
+        fa = flow_read_flo(str(my_out / "testing_flo" / f"{name}.flo"))
+        fb = flow_read_flo(str(ref_out / "testing_flo" / f"{name}.flo"))
+        np.testing.assert_allclose(fa, fb, atol=2e-3)
