@@ -61,10 +61,11 @@ def main(argv=None):
 
     # error/prediction arrays sized len(framework) == total IMAGE count and
     # zero-filled, exactly like the reference (test_pose.py:43,49,96): only
-    # the n_snippets() leading rows get written, and mean/std run over the
+    # the leading snippet rows get written, and mean/std run over the
     # zero-padded full array — the published numbers inherit that quirk.
     errors = np.zeros((len(framework), 2), np.float32)
-    predictions = np.zeros((len(framework), args.seq_length, 3, 4))
+    predictions = (np.zeros((len(framework), args.seq_length, 3, 4))
+                   if args.output_dir else None)
     for j, sample in enumerate(framework):
         imgs = [prep(im) for im in sample["imgs"]]
         mid = len(imgs) // 2
@@ -73,7 +74,8 @@ def main(argv=None):
             np.stack(imgs[:mid] + imgs[mid + 1:])[None])
         poses = np.asarray(fwd(tgt, refs))[0]
         final = snippet_poses_from_prediction(poses, args.rotation_mode)
-        predictions[j] = final
+        if predictions is not None:
+            predictions[j] = final
         errors[j] = compute_pose_error(sample["poses"], final)
     print("\nResults")
     print("\t {:>10}, {:>10}".format("ATE", "RE"))

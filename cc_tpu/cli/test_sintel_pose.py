@@ -59,7 +59,8 @@ def main(argv=None):
     # reference (test_sintel_pose.py:49,96 + the framework's __len__ quirk,
     # see eval/sintel.py): mean/std run over the padded array.
     res = np.zeros(len(framework), np.float32)
-    preds = np.zeros((len(framework), args.seq_length, 3, 4))
+    preds = (np.zeros((len(framework), args.seq_length, 3, 4))
+             if args.output_dir else None)
     for j, sample in enumerate(framework):
         imgs = [prep(im) for im in sample["imgs"]]
         mid = len(imgs) // 2
@@ -67,7 +68,8 @@ def main(argv=None):
         refs = jnp.asarray(np.stack(imgs[:mid] + imgs[mid + 1:])[None])
         poses = np.asarray(fwd(tgt, refs))[0]
         final = snippet_poses_from_prediction(poses, args.rotation_mode)
-        preds[j] = final
+        if preds is not None:
+            preds[j] = final
         res[j] = compute_rotation_error(sample["poses"], final)
     print("\nResults\n\t {:>10}".format("RE"))
     print(f"mean \t {res.mean():10.4f}")

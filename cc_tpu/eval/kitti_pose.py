@@ -40,9 +40,6 @@ class KittiOdomFramework:
         # metric parity (tests/test_eval_parity.py::test_pose_metric_parity).
         return sum(len(imgs) for imgs, _, _ in self.sequences)
 
-    def n_snippets(self):
-        return sum(len(idx) for _, _, idx in self.sequences)
-
     def __iter__(self):
         from cc_tpu.data.sequence_folders import load_image
         for imgs, poses, indices in self.sequences:

@@ -66,9 +66,6 @@ class SintelPoseFramework:
         # see eval/kitti_pose.py).
         return sum(len(imgs) for imgs, _, _ in self.sequences)
 
-    def n_snippets(self):
-        return sum(len(idx) for _, _, idx in self.sequences)
-
     def __iter__(self):
         from cc_tpu.data.sequence_folders import load_image
         for imgs, cams, indices in self.sequences:

@@ -39,5 +39,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # cli/__init__.py re-apply a JAX_PLATFORMS env var (the driver environment
 # exports JAX_PLATFORMS=axon) and silently move the whole test process onto
 # the remote TPU — where big programs fail the remote-compile size limit
-# and compile caches cross profiles.
-assert jax.default_backend() == "cpu" and len(jax.devices()) == 8
+# and compile caches cross profiles. The init call must be an unconditional
+# statement (not inside an assert, which python -O strips).
+_backend, _n_devices = jax.default_backend(), len(jax.devices())
+if _backend != "cpu" or _n_devices != 8:
+    raise RuntimeError(
+        f"test platform lock failed: backend={_backend} devices={_n_devices}"
+        " (expected cpu x8)")
+
+# Shared fabricated-dataset/checkpoint session fixtures, registered HERE so
+# every test module uses one instance (importing them per-module would
+# re-register and re-fabricate per importer).
+from tests.cli_fixtures import *  # noqa: E402,F401,F403

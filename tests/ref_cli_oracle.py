@@ -202,26 +202,6 @@ def install_shims():
     scipy_misc.imresize = _imresize
     scipy_misc.imrotate = _imrotate
 
-    # numpy-1.x scalar aliases removed in numpy 2 but used by the reference
-    # (e.g. depth_evaluation_utils.py:180 .astype(np.int)); module-dict
-    # entries take precedence over numpy's module __getattr__ tombstones
-    for name, alias in (("int", int), ("float", float), ("bool", bool)):
-        if name not in np.__dict__:
-            setattr(np, name, alias)
-
-    # numpy 1.x accepted generators in np.stack (deprecated); the reference
-    # relies on it (pose_evaluation_utils.py:20). Identical for sequences.
-    if not getattr(np.stack, "_oracle_lenient", False):
-        orig_stack = np.stack
-
-        def lenient_stack(arrays, *a, **k):
-            if not hasattr(arrays, "__getitem__"):
-                arrays = list(arrays)
-            return orig_stack(arrays, *a, **k)
-
-        lenient_stack._oracle_lenient = True
-        np.stack = lenient_stack
-
     import torch
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
@@ -231,11 +211,42 @@ def install_shims():
         sys.path.insert(0, REFERENCE_PATH)
 
 
+@contextlib.contextmanager
+def _numpy1_compat():
+    """numpy-1.x behaviors the reference relies on, scoped to an oracle run
+    so the rest of the suite still tests cc_tpu against real numpy-2
+    semantics: the removed scalar aliases (np.int at
+    depth_evaluation_utils.py:180) and generator arguments to np.stack
+    (pose_evaluation_utils.py:20)."""
+    added = []
+    for name, alias in (("int", int), ("float", float), ("bool", bool)):
+        if name not in np.__dict__:
+            setattr(np, name, alias)
+            added.append(name)
+    orig_stack = np.stack
+
+    def lenient_stack(arrays, *a, **k):
+        if not hasattr(arrays, "__getitem__"):
+            arrays = list(arrays)
+        return orig_stack(arrays, *a, **k)
+
+    np.stack = lenient_stack
+    try:
+        yield
+    finally:
+        np.stack = orig_stack
+        for name in added:
+            delattr(np, name)
+
+
 def _patch_validation_flow_len(n: int, root: str | None = None):
     """ValidationFlow.__len__ returns its N argument (200 by default) no
     matter how many samples exist on disk — and test_back2future.py even
     hardcodes the author's dataset root — so cap N (and optionally override
-    root) for tiny fixture trees."""
+    root) for tiny fixture trees. State is reset on every
+    run_reference_cli call, never carried between tests. The reference
+    call sites pass root as the first arg (kwarg everywhere today); the
+    wrapper handles it positionally too, leaving the rest untouched."""
     import datasets.validation_flow as vf
     for cls_name in ("ValidationFlow", "ValidationMask",
                      "ValidationFlowKitti2012", "KITTI2015Test"):
@@ -245,9 +256,12 @@ def _patch_validation_flow_len(n: int, root: str | None = None):
 
             def capped(self, *a, _orig=orig_init, **k):
                 k["N"] = min(k.get("N", 200), _patch_validation_flow_len.n)
-                if _patch_validation_flow_len.root is not None:
-                    k["root"] = _patch_validation_flow_len.root
-                    a = ()
+                override = _patch_validation_flow_len.root
+                if override is not None:
+                    if "root" in k:
+                        k["root"] = override
+                    else:
+                        a = (override,) + a[1:]
                 _orig(self, *a, **k)
 
             cls.__init__ = capped
@@ -267,18 +281,24 @@ def run_reference_cli(module_name: str, argv: list[str],
     patched argv; returns captured stdout."""
     install_shims()
     import torch
-    if n_samples is not None or dataset_root is not None:
-        _patch_validation_flow_len(n_samples or 200, dataset_root)
+    # reset (not accumulate) the dataset patch state on every run
+    _patch_validation_flow_len(n_samples if n_samples is not None else 200,
+                               dataset_root)
     mod = importlib.import_module(module_name)
     old_argv = sys.argv
     sys.argv = [f"{module_name}.py"] + list(argv)
     buf = io.StringIO()
     try:
-        with torch.no_grad(), contextlib.redirect_stdout(buf):
+        with _numpy1_compat(), torch.no_grad(), \
+                contextlib.redirect_stdout(buf):
             mod.main()
     finally:
         sys.argv = old_argv
     return buf.getvalue()
+
+
+# float literals incl. exponent-only reprs like 5e-05 (repr of small floats)
+FLOAT_RE = r"-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+[eE][+-]?\d+"
 
 
 def parse_metric_rows(text: str, n: int) -> list[np.ndarray]:
@@ -286,8 +306,7 @@ def parse_metric_rows(text: str, n: int) -> list[np.ndarray]:
     like 'Errors \\t 0.1, 0.2' or 'mean \\t 0.1, 0.2')."""
     rows = []
     for line in text.splitlines():
-        vals = [float(x) for x in
-                re.findall(r"-?\d+\.\d+(?:[eE][+-]?\d+)?", line)]
+        vals = [float(x) for x in re.findall(FLOAT_RE, line)]
         if len(vals) == n:
             rows.append(np.array(vals))
     return rows

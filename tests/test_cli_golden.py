@@ -29,144 +29,9 @@ from tests.ref_compat import reference_available
 pytestmark = pytest.mark.skipif(not reference_available(),
                                 reason="reference/torch unavailable")
 
-H, W = 64, 128  # divisible by 2**6 (Back2Future/DispResNet6 pyramid depth)
-
-
-# ---------------------------------------------------------------- fixtures
-
-def _ref_models():
-    import sys
-    import torch
-    from tests.ref_compat import load_reference
-    load_reference()
-    torch.Tensor.cuda = lambda self, *a, **k: self  # CPU-run the reference
-    sys.path.insert(0, "/root/reference")
-    import models as ref_models
-    return ref_models
-
-
-@pytest.fixture(scope="session")
-def ckpt_dir(tmp_path_factory):
-    """Fresh-init reference torch nets saved as .pth.tar — exercises the
-    full torch-checkpoint load path of every CLI."""
-    import torch
-    d = tmp_path_factory.mktemp("ckpts")
-    ref_models = _ref_models()
-    torch.manual_seed(0)
-    nets = {
-        "dispnet": ref_models.DispResNet6(),
-        "posenet": ref_models.PoseNetB6(nb_ref_imgs=4),
-        "masknet": ref_models.MaskNet6(nb_ref_imgs=4),
-        "flownet": ref_models.Back2Future(nlevels=6),
-        "poseexpnet": ref_models.PoseExpNet(nb_ref_imgs=2, output_exp=False),
-    }
-    for name, net in nets.items():
-        torch.save({"epoch": 0, "state_dict": net.state_dict()},
-                   d / f"{name}_model_best.pth.tar")
-    return d
-
-
-def _write_png(path, arr):
-    import cv2
-    os.makedirs(os.path.dirname(str(path)), exist_ok=True)
-    cv2.imwrite(str(path), arr)
-
-
-def _rand_rgb(rng, h=H, w=W):
-    return rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
-
-
-@pytest.fixture(scope="session")
-def kitti2015_dir(tmp_path_factory):
-    """Tiny KITTI2015 scene-flow tree, 2 training + 2 testing samples."""
-    from cc_tpu.utils.flow_io import flow_write_png
-
-    root = tmp_path_factory.mktemp("kitti2015")
-    rng = np.random.default_rng(0)
-    for phase in ("training", "testing"):
-        for idx in range(2):
-            i6 = str(idx).zfill(6)
-            mv = root / "data_scene_flow_multiview" / phase / "image_2"
-            for frame in range(8, 13):
-                _write_png(mv / f"{i6}_{str(frame).zfill(2)}.png",
-                           _rand_rgb(rng))
-            # calib: P_rect_02 = K [I|0]
-            calib = root / "data_scene_flow_calib" / phase \
-                / "calib_cam_to_cam" / f"{i6}.txt"
-            os.makedirs(os.path.dirname(str(calib)), exist_ok=True)
-            k = [50.0, 0.0, W / 2, 0.0,
-                 0.0, 50.0, H / 2, 0.0,
-                 0.0, 0.0, 1.0, 0.0]
-            with open(calib, "w") as f:
-                f.write("P_rect_02: " + " ".join(map(str, k)) + "\n")
-            if phase == "training":
-                # GT flow (16-bit KITTI png), obj map, semantic labels
-                u = rng.uniform(-10, 10, (H, W))
-                v = rng.uniform(-5, 5, (H, W))
-                fo = root / "data_scene_flow" / phase / "flow_occ"
-                os.makedirs(str(fo), exist_ok=True)
-                flow_write_png(str(fo / f"{i6}_10.png"), u, v)
-                # moving car (bottom-right), static car (bottom-left) — the
-                # IoU protocol needs both classes present (class 26 = car;
-                # obj_map != 0 = moving)
-                obj = np.zeros((H, W), np.uint8)
-                obj[H // 2:, W // 2:] = 1
-                _write_png(root / "data_scene_flow" / phase / "obj_map"
-                           / f"{i6}_10.png", obj)
-                sem = np.full((H, W), 7, np.uint8)
-                sem[H // 2:, :] = 26
-                _write_png(root / "semantic_labels" / phase / "semantic"
-                           / f"{i6}_10.png", sem)
-    return root
-
-
-@pytest.fixture(scope="session")
-def eigen_dir(tmp_path_factory):
-    """Tiny KITTI-raw tree for the Eigen depth protocol: image + velodyne
-    .bin (points back-projected from known depths) + calib + oxts."""
-    root = tmp_path_factory.mktemp("kitti_raw")
-    rng = np.random.default_rng(1)
-    date, scene = "2011_09_26", "2011_09_26_drive_0001_sync"
-    img_dir = root / date / scene / "image_02" / "data"
-    for idx in (4, 5, 6):
-        _write_png(img_dir / f"{idx:010d}.png", _rand_rgb(rng))
-
-    fx = fy = 50.0
-    cx, cy = W / 2.0, H / 2.0
-    with open(root / date / "calib_cam_to_cam.txt", "w") as f:
-        f.write("R_rect_00: 1 0 0 0 1 0 0 0 1\n")
-        f.write(f"P_rect_02: {fx} 0 {cx} 0 0 {fy} {cy} 0 0 0 1 0\n")
-    # velo (x fwd, y left, z up) -> cam (x right, y down, z fwd)
-    r_vc = np.array([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
-    with open(root / date / "calib_velo_to_cam.txt", "w") as f:
-        f.write("R: " + " ".join(map(str, r_vc.ravel())) + "\n")
-        f.write("T: 0 0 0\n")
-
-    # back-project a pixel grid at known depths -> velodyne points
-    us, vs = np.meshgrid(np.arange(6, W - 6, 3), np.arange(20, H - 2, 2))
-    us, vs = us.ravel().astype(np.float64), vs.ravel().astype(np.float64)
-    z = rng.uniform(5.0, 30.0, us.shape)
-    cam = np.stack([(us - cx) * z / fx, (vs - cy) * z / fy, z], axis=1)
-    velo = cam @ r_vc  # == (r_vc.T @ cam.T).T
-    pts = np.concatenate([velo, np.ones((len(velo), 1))], axis=1)
-    velo_dir = root / date / scene / "velodyne_points" / "data"
-    os.makedirs(str(velo_dir), exist_ok=True)
-    pts.astype(np.float32).tofile(str(velo_dir / f"{5:010d}.bin"))
-
-    oxts = root / date / scene / "oxts"
-    os.makedirs(str(oxts / "data"), exist_ok=True)
-    with open(oxts / "timestamps.txt", "w") as f:
-        for i in range(8):
-            f.write(f"2011-09-26 13:02:{25 + i:02d}.{i:09d}\n")
-    row = [0.0] * 30
-    row[8:11] = [5.0, 0.1, 0.0]  # vf, vl, vu -> speed ~5 m/s
-    for idx in (4, 5, 6):
-        with open(oxts / "data" / f"{idx:010d}.txt", "w") as f:
-            f.write(" ".join(map(str, row)) + "\n")
-
-    with open(root / "test_files.txt", "w") as f:
-        f.write(f"{date}/{scene}/image_02/data/{5:010d}.png\n")
-    return root
+# helpers only — the session fixtures themselves register via conftest
+from tests.cli_fixtures import (  # noqa: F401
+    H, W, _rand_rgb, _ref_models, _write_png)
 
 
 @pytest.fixture(scope="session")

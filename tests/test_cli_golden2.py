@@ -17,66 +17,12 @@ import numpy as np
 import pytest
 
 from tests.ref_compat import reference_available
-from tests.test_cli_golden import (  # noqa: F401  (session fixtures)
-    ckpt_dir, kitti2015_dir, H, W, _write_png,
-)
+# helpers only — the session fixtures (ckpt_dir, kitti2015_dir,
+# odometry_dir, sintel_dir, ...) register via conftest
+from tests.cli_fixtures import H, W, _write_png  # noqa: F401
 
 pytestmark = pytest.mark.skipif(not reference_available(),
                                 reason="reference/torch unavailable")
-
-
-@pytest.fixture(scope="session")
-def odometry_dir(tmp_path_factory):
-    """KITTI odometry format: sequences/09/image_2/*.png + poses/09.txt."""
-    root = tmp_path_factory.mktemp("odometry")
-    rng = np.random.default_rng(3)
-    img_dir = root / "sequences" / "09" / "image_2"
-    n = 7
-    for i in range(n):
-        _write_png(img_dir / f"{i:06d}.png",
-                   rng.integers(0, 255, (H, W, 3), dtype=np.uint8))
-    # GT: gentle forward motion with a slight yaw per frame
-    poses = []
-    T = np.eye(4)
-    for i in range(n):
-        poses.append(T[:3].copy())
-        yaw = 0.01
-        R = np.array([[np.cos(yaw), 0, np.sin(yaw)],
-                      [0, 1, 0],
-                      [-np.sin(yaw), 0, np.cos(yaw)]])
-        step = np.eye(4)
-        step[:3, :3] = R
-        step[:3, 3] = [0.02, 0.0, 0.5]
-        T = T @ step
-    os.makedirs(str(root / "poses"), exist_ok=True)
-    with open(root / "poses" / "09.txt", "w") as f:
-        for p in poses:
-            f.write(" ".join(map(str, p.ravel())) + "\n")
-    return root
-
-
-@pytest.fixture(scope="session")
-def sintel_dir(tmp_path_factory):
-    """MPI-Sintel layout: clean/<seq>/*.png + camdata_left/<seq>/*.cam."""
-    root = tmp_path_factory.mktemp("sintel")
-    rng = np.random.default_rng(4)
-    n = 6
-    for i in range(1, n + 1):
-        _write_png(root / "clean" / "alley_1" / f"frame_{i:04d}.png",
-                   rng.integers(0, 255, (H, W, 3), dtype=np.uint8))
-    cam_dir = root / "camdata_left" / "alley_1"
-    os.makedirs(str(cam_dir), exist_ok=True)
-    M = np.array([[50.0, 0, W / 2], [0, 50.0, H / 2], [0, 0, 1.0]])
-    T = np.eye(4)
-    for i in range(1, n + 1):
-        with open(cam_dir / f"frame_{i:04d}.cam", "wb") as f:
-            f.write(np.float32(202021.25).tobytes())
-            f.write(M.astype(np.float64).tobytes())
-            f.write(T[:3].astype(np.float64).tobytes())
-        step = np.eye(4)
-        step[:3, 3] = [0.01, 0.0, 0.3]
-        T = T @ step
-    return root
 
 
 @pytest.fixture(scope="session")

@@ -17,11 +17,10 @@ import numpy as np
 import pytest
 
 from tests.ref_compat import reference_available
-# session fixtures reused from the golden tests (fabricated KITTI trees +
-# fresh-init reference checkpoints)
-from tests.test_cli_golden import (  # noqa: F401
-    H, W, ckpt_dir, eigen_dir, _rand_rgb, _ref_models, _write_png)
-from tests.test_cli_golden2 import odometry_dir, sintel_dir  # noqa: F401
+# helpers only — the shared session fixtures (ckpt_dir, eigen_dir,
+# odometry_dir, sintel_dir, ...) register via conftest
+from tests.cli_fixtures import (  # noqa: F401
+    H, W, _rand_rgb, _ref_models, _write_png)
 
 pytestmark = pytest.mark.skipif(not reference_available(),
                                 reason="reference/torch unavailable")
@@ -202,7 +201,7 @@ def test_back2future_metric_parity(ckpt_dir, kitti2015_832_dir):
     import re as _re
 
     from cc_tpu.cli.test_back2future import main as my_main
-    from tests.ref_cli_oracle import run_reference_cli
+    from tests.ref_cli_oracle import FLOAT_RE, run_reference_cli
 
     ckpt = str(ckpt_dir / "flownet_model_best.pth.tar")
     mine = my_main(["--kitti-dir", str(kitti2015_832_dir),
@@ -214,7 +213,7 @@ def test_back2future_metric_parity(ckpt_dir, kitti2015_832_dir):
     # reference prints: Averge EPE [f1, f2, f3, f4]
     m = [l for l in out.splitlines() if "EPE" in l]
     assert m, out
-    ref = [float(x) for x in _re.findall(r"-?\d+\.\d+(?:e-?\d+)?", m[-1])]
+    ref = [float(x) for x in _re.findall(FLOAT_RE, m[-1])]
     assert len(ref) == 4, m
     np.testing.assert_allclose(np.asarray(mine), np.asarray(ref), **TOL)
 
