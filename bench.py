@@ -3,7 +3,10 @@ canonical operating point — 832x256, batch 4, DispResNet6 + PoseNetB6 +
 MaskNet6 + Back2Future, nlevels=6, wssim on, edge-aware smoothness
 (README.md:59-66 / BASELINE.md).
 
-Prints ONE JSON line: frames/sec/chip of the jitted donated train step.
+Prints ONE JSON line: fp32 frames/sec/chip of the jitted donated train step
+(the parity headline), with the bf16 measurement embedded under
+detail.bfloat16 (both dtypes run in one invocation unless CC_BENCH_DTYPE
+pins one).
 
 Measurement notes (round-2, after the round-1 artifact):
 - On this environment's remote-TPU ("axon") PJRT plugin,
@@ -67,22 +70,13 @@ def matmul_sanity_check() -> float:
     return tflops
 
 
-def main():
-    # persistent compile cache: repeated bench runs skip the ~15-min compile
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                     "/tmp/cc_tpu_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+def run_dtype(dtype: str, batch_size: int, h: int, w: int, steps: int):
+    """Measure the jitted donated CC train step for one compute dtype.
+    Returns {frames_per_sec, steps_per_sec, window_steps_per_sec, loss}."""
     import jax.numpy as jnp
     from cc_tpu.train import TrainConfig, make_models, init_state, \
         build_train_step
 
-    batch_size = int(os.environ.get("CC_BENCH_BATCH", "4"))
-    h = int(os.environ.get("CC_BENCH_H", "256"))
-    w = int(os.environ.get("CC_BENCH_W", "832"))
-    steps = int(os.environ.get("CC_BENCH_STEPS", "30"))
-
-    dtype = os.environ.get("CC_BENCH_DTYPE", "float32")
     cfg = TrainConfig(
         height=h, width=w, batch_size=batch_size,
         wssim=0.997, smoothness_type="edgeaware",
@@ -108,8 +102,6 @@ def main():
 
     step = build_train_step(cfg, mods, donate=True)
 
-    matmul_tflops = matmul_sanity_check()
-
     # warmup / compile, synced so the timed windows start with an idle queue
     for _ in range(5):
         state, metrics = step(state, batch)
@@ -124,24 +116,58 @@ def main():
         windows.append(steps / (time.perf_counter() - t0))
 
     steps_per_sec = float(np.median(windows))
-    frames_per_sec = steps_per_sec * batch_size
+    return {
+        "frames_per_sec": round(steps_per_sec * batch_size, 3),
+        "steps_per_sec": round(steps_per_sec, 4),
+        "window_steps_per_sec": [round(x, 3) for x in windows],
+        "loss": _sync(metrics["loss"]),
+    }
+
+
+def main():
+    # persistent compile cache: repeated bench runs skip the ~15-min compile
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/cc_tpu_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    batch_size = int(os.environ.get("CC_BENCH_BATCH", "4"))
+    h = int(os.environ.get("CC_BENCH_H", "256"))
+    w = int(os.environ.get("CC_BENCH_W", "832"))
+    steps = int(os.environ.get("CC_BENCH_STEPS", "30"))
+
+    # CC_BENCH_DTYPE set -> bench exactly that dtype (dev workflow);
+    # unset -> fp32 headline + bf16 side record in one invocation, so the
+    # driver's BENCH artifact always captures both (VERDICT r2 weak #4).
+    env_dtype = os.environ.get("CC_BENCH_DTYPE")
+    dtypes = [env_dtype] if env_dtype else ["float32", "bfloat16"]
+
+    matmul_tflops = matmul_sanity_check()
+    results = {dt: run_dtype(dt, batch_size, h, w, steps) for dt in dtypes}
+
+    headline_dtype = dtypes[0]
+    head = results[headline_dtype]
     baseline = float(os.environ.get("CC_BASELINE_FPS", "8.8"))
+    suffix = "" if headline_dtype == "float32" else f"_{headline_dtype}"
+    detail = {
+        "steps_per_sec": head["steps_per_sec"],
+        "window_steps_per_sec": head["window_steps_per_sec"],
+        "sync": "per-window D2H readback (median of 3)",
+        "matmul_selfcheck_tflops_bf16": round(matmul_tflops, 1),
+        "baseline_frames_per_sec": baseline,
+        "baseline_source": "judge-verified honest r01 fp32 measurement",
+        "dtype": headline_dtype,
+        "loss": head["loss"],
+        "device": str(jax.devices()[0]),
+    }
+    for dt in dtypes[1:]:
+        detail[dt] = results[dt]
     print(json.dumps({
-        "metric": "cc_joint_train_frames_per_sec_per_chip_832x256_b4" if dtype == "float32" else f"cc_joint_train_frames_per_sec_per_chip_832x256_b4_{dtype}",
-        "value": round(frames_per_sec, 3),
+        "metric": f"cc_joint_train_frames_per_sec_per_chip_832x256_b4{suffix}",
+        "value": head["frames_per_sec"],
         "unit": "frames/s/chip",
-        "vs_baseline": round(frames_per_sec / baseline, 3),
-        "detail": {
-            "steps_per_sec": round(steps_per_sec, 4),
-            "window_steps_per_sec": [round(w, 3) for w in windows],
-            "sync": "per-window D2H readback (median of 3)",
-            "matmul_selfcheck_tflops_bf16": round(matmul_tflops, 1),
-            "baseline_frames_per_sec": baseline,
-            "baseline_source": "judge-verified honest r01 fp32 measurement",
-            "dtype": dtype,
-            "loss": _sync(metrics["loss"]),
-            "device": str(jax.devices()[0]),
-        },
+        "vs_baseline": round(head["frames_per_sec"] / baseline, 3),
+        "detail": detail,
     }))
 
 

@@ -224,10 +224,39 @@ def validate_flow(cfg, mods, state, val_loader, fwd_eval,
     return errors.avg, names
 
 
+class _NullLogger:
+    """Write-sink for non-primary processes in a multi-host launch: the
+    SummaryLogger / CsvLogger call surface, dropping everything."""
+
+    def add_scalar(self, *a, **k):
+        pass
+
+    def add_image(self, *a, **k):
+        pass
+
+    def append(self, *a, **k):
+        pass
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    with open("experiment_recorder.md", "a") as f:
-        f.write("\npython3 " + " ".join(sys.argv))
+
+    # Multi-host (pod-slice) launch: bring up the multi-process runtime
+    # BEFORE any device use — jax.devices() then lists the global device
+    # set and the data mesh spans all hosts. The reference wires its
+    # parallel backend into the trainer at train.py:300-303; the no-op
+    # single-host path leaves everything unchanged.
+    from cc_tpu.parallel import distributed
+    distributed.initialize()
+    primary = distributed.is_primary()
+    pcount = distributed.process_count()
+    # each process loads only its own rows of the global batch
+    batch_slice = (distributed.process_batch_slice(args.batch_size)
+                   if pcount > 1 else None)
+
+    if primary:
+        with open("experiment_recorder.md", "a") as f:
+            f.write("\npython3 " + " ".join(sys.argv))
 
     import jax
     import jax.numpy as jnp
@@ -273,14 +302,17 @@ def main(argv=None):
         train_set.samples = train_set.samples[:32]
     print(f"{len(train_set)} samples in {len(train_set.scenes)} train scenes")
 
+    # validation + checkpoint/log writes are primary-only in a multi-host
+    # launch (train steps are collective; validation is not, so replicas
+    # would only duplicate work)
     val_depth_loader = None
-    if args.with_depth_gt:
+    if args.with_depth_gt and primary:
         val_set = ValidationSet(args.data.replace("cityscapes", "kitti"),
                                 transform=valid_tf)
         val_depth_loader = DataLoader(val_set, args.batch_size,
                                       num_workers=args.workers)
     val_flow_loader = None
-    if args.with_flow_gt:
+    if args.with_flow_gt and primary:
         val_flow_set = ValidationFlow(root=args.kitti_dir,
                                       sequence_length=args.sequence_length,
                                       transform=valid_flow_tf,
@@ -289,7 +321,8 @@ def main(argv=None):
                                      num_workers=args.workers)
 
     train_loader = DataLoader(train_set, args.batch_size, shuffle=True,
-                              num_workers=args.workers, seed=args.seed)
+                              num_workers=args.workers, seed=args.seed,
+                              batch_slice=batch_slice)
     epoch_size = args.epoch_size or len(train_loader)
 
     print("=> creating models")
@@ -303,8 +336,15 @@ def main(argv=None):
         print("=> resuming from checkpoint")
         state = load_checkpoint(save_path, state)
 
+    if pcount > 1 and args.batch_size % len(jax.devices()) != 0:
+        # make_mesh_for_batch would silently shrink to a device subset,
+        # which in a multi-process launch strands the other hosts' chips
+        raise ValueError(
+            f"multi-host launch: batch size {args.batch_size} must be a "
+            f"multiple of the {len(jax.devices())} global devices")
     mesh = make_mesh_for_batch(args.batch_size)
-    print(f"=> mesh over {mesh.size} device(s); jitting train step")
+    print(f"=> mesh over {mesh.size} device(s) / {pcount} process(es); "
+          f"jitting train step")
     step_fn = build_train_step(cfg, mods, mesh=mesh)
     fwd_eval = build_forward_eval(cfg, mods)
     import jax.numpy as jnp
@@ -316,18 +356,22 @@ def main(argv=None):
         return out
     fwd_disp = jax.jit(fwd_disp)
 
-    writer = SummaryLogger(save_path)
-    output_writers = []
-    if args.log_output:  # 3 extra valid/N writers (train.py:157-160)
-        output_writers = [SummaryLogger(os.path.join(save_path, "valid",
-                                                     str(i)))
-                          for i in range(3)]
-    summary_csv = CsvLogger(os.path.join(save_path, args.log_summary),
-                            ["train_loss", "validation_loss"])
-    full_csv = CsvLogger(
-        os.path.join(save_path, args.log_full),
-        ["train_loss", "photo_cam_loss", "photo_flow_loss",
-         "explainability_loss", "smooth_loss"])
+    if primary:
+        writer = SummaryLogger(save_path)
+        output_writers = []
+        if args.log_output:  # 3 extra valid/N writers (train.py:157-160)
+            output_writers = [SummaryLogger(os.path.join(save_path, "valid",
+                                                         str(i)))
+                              for i in range(3)]
+        summary_csv = CsvLogger(os.path.join(save_path, args.log_summary),
+                                ["train_loss", "validation_loss"])
+        full_csv = CsvLogger(
+            os.path.join(save_path, args.log_full),
+            ["train_loss", "photo_cam_loss", "photo_flow_loss",
+             "explainability_loss", "smooth_loss"])
+    else:
+        writer = summary_csv = full_csv = _NullLogger()
+        output_writers = []
 
     # 3-bar fixed-position terminal UI (reference logger.py:6-59 /
     # train.py:325-327); degrades to plain prints when stdout isn't a TTY
@@ -350,7 +394,7 @@ def main(argv=None):
             if i >= epoch_size:
                 break
             state, metrics = step_fn(state, batch)
-            if (args.training_output_freq > 0
+            if (primary and args.training_output_freq > 0
                     and n_iter % args.training_output_freq == 0):
                 # training image logging (train.py:521-560)
                 out = fwd_eval(state.params, state.batch_stats, batch)
@@ -436,7 +480,8 @@ def main(argv=None):
             best_error = decisive
         is_best = decisive <= best_error
         best_error = min(best_error, decisive)
-        save_checkpoint(save_path, state, is_best=is_best)
+        if primary:
+            save_checkpoint(save_path, state, is_best=is_best)
         summary_csv.append([train_loss, decisive])
     logger.epoch_bar.finish()
     print("=> done")

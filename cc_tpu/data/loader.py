@@ -23,13 +23,18 @@ def collate(samples: list[dict]) -> dict:
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 4, drop_last: bool = True,
-                 seed: int | None = None):
+                 seed: int | None = None, batch_slice: slice | None = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.seed = seed
+        # Multi-host: every process iterates the SAME shuffled index
+        # sequence (seeded) batched at the GLOBAL batch size, but loads
+        # only its own rows of each batch (parallel/distributed.py
+        # process_batch_slice). None = load the full batch (single host).
+        self.batch_slice = batch_slice
         self._epoch = 0
 
     def __len__(self):
@@ -55,6 +60,8 @@ class DataLoader:
 
             def submit(b):
                 idxs = indices[b * self.batch_size:(b + 1) * self.batch_size]
+                if self.batch_slice is not None:
+                    idxs = idxs[self.batch_slice]
                 pending.append(pool.map(self.dataset.__getitem__, idxs))
 
             ahead = min(2, n_batches)
@@ -72,10 +79,10 @@ def device_prefetch(iterator, mesh=None, size: int = 2):
     import jax
 
     if mesh is not None:
-        from cc_tpu.parallel.mesh import batch_sharding
-        sharding = batch_sharding(mesh)
-        put = lambda b: jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, sharding), b)
+        # shard_batch handles both single-process device_put and the
+        # multi-host local-rows -> global-array assembly
+        from cc_tpu.parallel.mesh import shard_batch
+        put = lambda b: shard_batch(b, mesh)
     else:
         put = lambda b: jax.tree_util.tree_map(jax.device_put, b)
 

@@ -34,6 +34,10 @@ class _NativePipelineBase:
         if self._lib is None:
             return None
         aug, k = self.draw(rng, in_h, in_w, intrinsics)
+        # The aug parameters (flip cx, scale-crop rect) and the output
+        # allocation were both computed from (in_h, in_w) — have the C++
+        # side verify the decoded image really has those dims.
+        aug.in_h, aug.in_w = in_h, in_w
         imgs = process_sample(self._lib, paths, aug,
                               *self.out_hw(in_h, in_w))
         return imgs, k
@@ -114,6 +118,9 @@ def process_sample(lib, paths: list[str], aug: DpAug, out_h: int,
     missing/undecodable path (mirrors load_image)."""
     blob = b"".join(p.encode() + b"\0" for p in paths)
     out = np.empty((len(paths), out_h, out_w, 3), np.float32)
+    # The C++ plane refuses to write unless its final dims equal these —
+    # a stale per-scene dim cache can therefore never corrupt the heap.
+    aug.expect_h, aug.expect_w = out_h, out_w
     rc = lib.dp_process_sample(
         blob, len(paths), ctypes.byref(aug),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
@@ -126,4 +133,14 @@ def process_sample(lib, paths: list[str], aug: DpAug, out_h: int,
         raise ValueError(
             f"native pipeline: image {paths[-(rc + 1000)]} has "
             f"different dimensions than {paths[0]}")
+    if rc == -2000:
+        raise ValueError(
+            f"native pipeline: {paths[0]} decoded with dims different from "
+            f"the expected ({aug.in_h}, {aug.in_w}) — image sizes must be "
+            f"uniform per scene directory (ETL invariant; the dim cache "
+            f"probes one file per directory)")
+    if rc == -2001:
+        raise ValueError(
+            f"native pipeline: output dims differ from the allocated "
+            f"({out_h}, {out_w}) for {paths}")
     raise RuntimeError(f"native pipeline failed (rc={rc}) for {paths}")

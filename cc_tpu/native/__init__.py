@@ -35,7 +35,14 @@ class DpAug(ctypes.Structure):
         ("normalize", ctypes.c_int),
         ("mean", ctypes.c_float),
         ("std", ctypes.c_float),
+        ("in_h", ctypes.c_int),      # expected decode dims (0 = unchecked)
+        ("in_w", ctypes.c_int),
+        ("expect_h", ctypes.c_int),  # caller-allocated output buffer dims
+        ("expect_w", ctypes.c_int),  # (0 = unchecked)
     ]
+
+
+_ABI_VERSION = 2  # must match dp_version() in dataplane.cpp
 
 
 def _pkg_flags() -> list[str]:
@@ -56,14 +63,23 @@ def build() -> str | None:
             and os.path.getmtime(_SO) >= os.path.getmtime(src)):
         return _SO
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    cmd = (["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", _SO]
+    # Compile to a per-process temp path and os.replace() into place
+    # (atomic on one filesystem) so a concurrent builder in another
+    # process can never CDLL a half-written binary (ADVICE r2).
+    tmp = f"{_SO}.tmp.{os.getpid()}"
+    cmd = (["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", tmp]
            + _pkg_flags() + ["-lpthread"])
     try:
         subprocess.run(cmd, capture_output=True, text=True, check=True)
+        os.replace(tmp, _SO)
     except (OSError, subprocess.CalledProcessError) as e:
         err = getattr(e, "stderr", str(e))
         print(f"cc_tpu.native: data-plane build failed "
               f"(falling back to Python pipeline): {err[:500]}")
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return None
     return _SO
 
@@ -78,11 +94,20 @@ def lib():
         so = build()
         if so is None:
             return None
+
+        def _load(path):
+            l = ctypes.CDLL(path)
+            if l.dp_version() != _ABI_VERSION:
+                raise OSError(
+                    f"dp_version {l.dp_version()} != {_ABI_VERSION}")
+            return l
+
         try:
-            l = ctypes.CDLL(so)
+            l = _load(so)
         except OSError:
-            # a stale/foreign-ABI binary (e.g. different OpenCV soname):
-            # rebuild from source once, then honor the fallback contract
+            # a stale/foreign-ABI binary (different OpenCV soname, or an
+            # old dp_aug struct layout): rebuild from source once, then
+            # honor the fallback contract
             try:
                 os.remove(so)
             except OSError:
@@ -91,7 +116,7 @@ def lib():
             if so is None:
                 return None
             try:
-                l = ctypes.CDLL(so)
+                l = _load(so)
             except OSError as e2:
                 print(f"cc_tpu.native: data plane unloadable "
                       f"(falling back to Python pipeline): {e2}")

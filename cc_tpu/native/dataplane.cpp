@@ -49,6 +49,12 @@ typedef struct {
   int resize_w;
   int normalize;      // 0 none, 1 global (mean/std), 2 local (joint stats)
   float mean, std;    // global normalization parameters
+  int in_h, in_w;     // expected decode dims (0 = unchecked); the caller's
+                      // crop/flip-cx math was computed from these, so a
+                      // mismatch means silent numeric divergence
+  int expect_h;       // dims of the caller-allocated output buffer
+  int expect_w;       // (0 = unchecked) — checked before the output copy so
+                      // a size surprise can never write past the buffer
 } dp_aug;
 
 // Decode + augment one joint sample (n images share one dp_aug).
@@ -67,6 +73,12 @@ static int dp_process_sample_impl(const char* paths, int n_imgs,
     // Reject it cleanly instead (the Python fallback raises ValueError).
     if (i > 0 && (bgr.rows != imgs[0].rows || bgr.cols != imgs[0].cols))
       return -1000 - i;
+    // The caller drew augmentation parameters (flip cx, scale-crop rect)
+    // from its per-scene dim cache; a stale cache entry would silently
+    // diverge from the Python fallback (ADVICE r2). Fail loud instead.
+    if (i == 0 && aug->in_h > 0 &&
+        (bgr.rows != aug->in_h || bgr.cols != aug->in_w))
+      return -2000;
     cv::Mat rgb;
     cv::cvtColor(bgr, rgb, cv::COLOR_BGR2RGB);
     rgb.convertTo(imgs[i], CV_32FC3);  // 0..255 float32, like load_image
@@ -137,6 +149,11 @@ static int dp_process_sample_impl(const char* paths, int n_imgs,
   }
 
   const int h = imgs[0].rows, w = imgs[0].cols;
+  // Never trust the pipeline stages to have produced the size the caller
+  // allocated: the output copy below writes n*h*w*3 floats, and the Python
+  // side sized `out` from its own expectation (ADVICE r2, medium).
+  if (aug->expect_h > 0 && (h != aug->expect_h || w != aug->expect_w))
+    return -2001;
   float mean[3] = {aug->mean, aug->mean, aug->mean};
   float stdv[3] = {aug->std, aug->std, aug->std};
   if (aug->normalize == 2) {  // joint per-channel stats over the image list
@@ -261,6 +278,10 @@ int dp_pool_submit(void* pool, const char* paths, int paths_len, int n_imgs,
   return ticket;
 }
 
+// Contract: EVERY submitted ticket must be dp_pool_wait()ed before the pool
+// is destroyed — done[] retains a ticket's rc until its wait erases it, so
+// abandoned tickets (e.g. a Python exception between submit and wait) leak
+// one map entry each for the pool's lifetime (all reclaimed on destroy).
 int dp_pool_wait(void* pool, int ticket) {
   Pool* p = (Pool*)pool;
   std::unique_lock<std::mutex> lk(p->mu);
@@ -270,6 +291,6 @@ int dp_pool_wait(void* pool, int ticket) {
   return rc;
 }
 
-int dp_version() { return 1; }
+int dp_version() { return 2; }  // 2: dp_aug in_h/in_w + expect_h/expect_w
 
 }  // extern "C"

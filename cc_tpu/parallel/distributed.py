@@ -35,8 +35,12 @@ def initialize(coordinator_address: str | None = None,
     """
     explicit = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
-    on_pod = bool(os.environ.get("TPU_WORKER_HOSTNAMES")
-                  or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+    # A pod slice exports a COMMA-SEPARATED worker list; a single entry
+    # (e.g. this environment's TPU_WORKER_HOSTNAMES=localhost) is a
+    # single-host launch and must stay out of the multi-process runtime.
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    on_pod = (len(workers.split(",")) > 1
+              or bool(os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")))
     if not explicit and not on_pod:
         return False
     kwargs = {}
@@ -67,6 +71,11 @@ def process_batch_slice(global_batch_size: int,
             f"{n} processes")
     per = global_batch_size // n
     return slice(p * per, (p + 1) * per)
+
+
+def process_count() -> int:
+    """Number of launch processes (1 on a single host)."""
+    return jax.process_count()
 
 
 def is_primary() -> bool:

@@ -47,7 +47,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch (pytree of arrays) sharded on the batch axis."""
+    """Place a host batch (pytree of arrays) sharded on the batch axis.
+
+    Single process: a plain device_put of the full batch. Multi-host (after
+    jax.distributed.initialize): each process passes only its OWN rows of
+    the global batch (parallel/distributed.py process_batch_slice) and the
+    shards are assembled into one global jax.Array — the TPU-native
+    equivalent of the reference's DataParallel scatter (train.py:300-303),
+    except no host ever materializes the full global batch."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)

@@ -148,3 +148,25 @@ def test_native_rejects_mismatched_dimensions(tmp_path):
         tf.process([a, b], np.random.default_rng(0), 32, 48, np.eye(3))
     out = tf.process([a, a], np.random.default_rng(0), 32, 48, np.eye(3))
     assert out is not None and out[0].shape == (2, 32, 48, 3)
+
+
+def test_native_rejects_stale_dim_cache(tmp_path):
+    """If the caller's (in_h, in_w) expectation doesn't match the decoded
+    target image — a stale per-scene dim cache — the native plane must
+    refuse BEFORE any aug math or output write (ADVICE r2 medium: the
+    no-resize valid path previously trusted the Python-side allocation)."""
+    import cv2
+    from cc_tpu.data.native_pipeline import NativeTrainPipeline, \
+        NativeValidPipeline
+
+    a = str(tmp_path / "a.jpg")
+    cv2.imwrite(a, np.zeros((32, 48, 3), np.uint8))
+    # train path: wrong expected dims -> ValueError naming the invariant
+    tf = NativeTrainPipeline("global", with_rotation=False)
+    with pytest.raises(ValueError, match="uniform per scene"):
+        tf.process([a], np.random.default_rng(0), 64, 48, np.eye(3))
+    # no-resize valid path: out buffer is sized from the expectation; the
+    # mismatch must be rejected, never silently written past
+    vf = NativeValidPipeline(0, 0)
+    with pytest.raises(ValueError, match="uniform per scene"):
+        vf.process([a], np.random.default_rng(0), 64, 96, None)
