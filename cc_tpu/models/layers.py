@@ -27,6 +27,65 @@ def uniform01(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype)
 
 
+class _DotConv(nn.Conv):
+    """nn.Conv with small-channel cases lowered to pixel matmuls.
+
+    XLA's conv path is pathological for tiny-channel convs (the per-conv
+    trace shows the iconv6 1x1 ci=17->16 at 0.3-0.9 TF/s across
+    fwd/dgrad/wgrad, ~3 ms for a conv whose bandwidth bound is ~0.3 ms, and
+    the fine-scale 3x3 convs at 0.4-8 TF/s). Two dot lowerings measured
+    faster on v5e (scripts/exp_fine_convs.py):
+      - 1x1 (any stride): dot_general over flattened pixels — 2.3x
+        fwd+grads; full-step fp32 19.16 -> 20.76 f/s;
+      - 3x3 stride-1 with ci,co <= TAP_MAX_C: 9 tap-shifted pixel matmuls
+        accumulated (no im2col materialization) — 19-29% fwd+grads at the
+        fine shapes; full-step fp32 20.76 -> 22.78 f/s at cap 64. Isolated
+        microbenches also favored taps at 128-256 channels, but the full
+        step REGRESSED at cap 256 (19.9 f/s): in-step, the mid-channel
+        convs sit in fused contexts the micro cannot reproduce — hence the
+        measured-in-step cap, not the micro-suggested one.
+    Parameter names/shapes are exactly nn.Conv's ('kernel' [kh,kw,ci,co],
+    'bias' [co]) so checkpoints and torch import/export are unaffected."""
+
+    TAP_MAX_C = 64
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        s = self.strides[0]
+        is_1x1 = tuple(k) == (1, 1) and self.padding == ((0, 0), (0, 0))
+        is_tap = (tuple(k) == (3, 3) and s == 1
+                  and self.padding == ((1, 1), (1, 1))
+                  and x.shape[-1] <= self.TAP_MAX_C
+                  and self.features <= self.TAP_MAX_C)
+        if not (is_1x1 or is_tap):
+            return super().__call__(x)
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            tuple(k) + (x.shape[-1], self.features), self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype)
+        dot = lambda a, w2d: jax.lax.dot_general(
+            a, w2d, (((3,), (0,)), ((), ())), precision=self.precision)
+        if is_1x1:
+            if s != 1:  # k=1, p=0: output (i,j) reads input (s*i, s*j)
+                x = x[:, ::s, ::s, :]
+            y = dot(x, kernel[0, 0])
+        else:
+            h, w = x.shape[1], x.shape[2]
+            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            y = None
+            for dy in range(3):
+                for dx in range(3):
+                    t = dot(xp[:, dy:dy + h, dx:dx + w, :], kernel[dy, dx])
+                    y = t if y is None else y + t
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 class Conv(nn.Module):
     """torch nn.Conv2d parity: explicit symmetric padding (k-1)//2 by default."""
     features: int
@@ -39,13 +98,14 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x):
         p = (self.kernel - 1) // 2 if self.pad is None else self.pad
-        return nn.Conv(
+        return _DotConv(
             self.features, (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding=((p, p), (p, p)),
             use_bias=self.use_bias,
             kernel_init=xavier_uniform,
             bias_init=self.bias_init,
+            name="Conv_0",
         )(x)
 
 

@@ -24,13 +24,78 @@
 
 #include <atomic>
 #include <condition_variable>
+#include <cstdlib>
 #include <cstring>
 #include <deque>
+#include <list>
 #include <mutex>
 #include <string>
 #include <thread>
 #include <unordered_map>
 #include <vector>
+
+// ------------------------------------------------------------ decode cache
+//
+// Training samples are sliding windows: sample i reads frames [i-2..i+2],
+// so consecutive samples share 4 of their 5 decodes, and a whole epoch
+// re-decodes every frame ~sequence_length times. On few-core hosts the
+// JPEG decode dominates the sample cost (measured: the 832x256 train CLI
+// is host-bound at ~3 im/s vs 22.8 device f/s on a 1-core box). An LRU of
+// DECODED uint8 RGB frames (0.64 MB each at 832x256) removes the
+// duplicate decodes; per-sample augmentation still runs on a fresh float
+// conversion, so numerics are unchanged. Capacity: CC_TPU_DECODE_CACHE_MB
+// (default 512, 0 disables).
+namespace {
+
+struct DecodeCache {
+  std::mutex mu;
+  std::list<std::string> order;  // front = most recent
+  struct Entry {
+    std::list<std::string>::iterator it;
+    cv::Mat rgb8;  // uint8 RGB, read-only once inserted
+  };
+  std::unordered_map<std::string, Entry> map;
+  size_t bytes = 0, cap;
+
+  DecodeCache() {
+    const char* e = std::getenv("CC_TPU_DECODE_CACHE_MB");
+    long mb = e ? std::atol(e) : 512;
+    cap = (size_t)(mb > 0 ? mb : 0) * 1024 * 1024;
+  }
+
+  // Returns true + fills rgb8 on hit (moves entry to front).
+  bool get(const std::string& key, cv::Mat* rgb8) {
+    if (cap == 0) return false;
+    std::lock_guard<std::mutex> lk(mu);
+    auto f = map.find(key);
+    if (f == map.end()) return false;
+    order.splice(order.begin(), order, f->second.it);
+    *rgb8 = f->second.rgb8;  // refcounted share; insertions never mutate
+    return true;
+  }
+
+  void put(const std::string& key, const cv::Mat& rgb8) {
+    if (cap == 0) return;
+    const size_t sz = rgb8.total() * rgb8.elemSize();
+    if (sz > cap) return;
+    std::lock_guard<std::mutex> lk(mu);
+    if (map.count(key)) return;  // a racing decode already inserted it
+    while (bytes + sz > cap && !order.empty()) {
+      auto& victim = order.back();
+      auto v = map.find(victim);
+      bytes -= v->second.rgb8.total() * v->second.rgb8.elemSize();
+      map.erase(v);
+      order.pop_back();
+    }
+    order.push_front(key);
+    map[key] = {order.begin(), rgb8};
+    bytes += sz;
+  }
+};
+
+DecodeCache g_decode_cache;
+
+}  // namespace
 
 extern "C" {
 
@@ -65,22 +130,27 @@ static int dp_process_sample_impl(const char* paths, int n_imgs,
   std::vector<cv::Mat> imgs(n_imgs);
   const char* p = paths;
   for (int i = 0; i < n_imgs; ++i) {
-    cv::Mat bgr = cv::imread(p, cv::IMREAD_COLOR);
-    if (bgr.empty()) return -1 - i;
+    const std::string key(p);
+    cv::Mat rgb;
+    if (!g_decode_cache.get(key, &rgb)) {
+      cv::Mat bgr = cv::imread(p, cv::IMREAD_COLOR);
+      if (bgr.empty()) return -1 - i;
+      cv::cvtColor(bgr, rgb, cv::COLOR_BGR2RGB);
+      g_decode_cache.put(key, rgb);
+    }
     // Every later stage (rotation warp, local-norm stats, output copy)
     // indexes with imgs[0]'s dims; a mismatched frame would read out of
     // bounds or throw a cv::Exception across the extern "C" boundary.
     // Reject it cleanly instead (the Python fallback raises ValueError).
-    if (i > 0 && (bgr.rows != imgs[0].rows || bgr.cols != imgs[0].cols))
+    if (i > 0 && (rgb.rows != imgs[0].rows || rgb.cols != imgs[0].cols))
       return -1000 - i;
     // The caller drew augmentation parameters (flip cx, scale-crop rect)
     // from its per-scene dim cache; a stale cache entry would silently
     // diverge from the Python fallback (ADVICE r2). Fail loud instead.
     if (i == 0 && aug->in_h > 0 &&
-        (bgr.rows != aug->in_h || bgr.cols != aug->in_w))
+        (rgb.rows != aug->in_h || rgb.cols != aug->in_w))
       return -2000;
-    cv::Mat rgb;
-    cv::cvtColor(bgr, rgb, cv::COLOR_BGR2RGB);
+    // fresh float conversion per use: cached mats stay read-only
     rgb.convertTo(imgs[i], CV_32FC3);  // 0..255 float32, like load_image
     p += std::strlen(p) + 1;
   }
@@ -175,16 +245,19 @@ static int dp_process_sample_impl(const char* paths, int n_imgs,
       stdv[c] = (float)std::sqrt((sq[c] - sum[c] * sum[c] / cnt) / (cnt - 1));
     }
   }
+  // Vectorized epilogue, same op ORDER as the Python path (ToFloat's
+  // x/255 then Normalize's (v-mean)/std) so results stay BIT-IDENTICAL:
+  // cv::divide by a Scalar performs true IEEE division (verified against
+  // the scalar loop; convertTo(alpha=1/255) does NOT — it multiplies by
+  // the rounded reciprocal). The scalar triple loop this replaces was the
+  // native plane's own bottleneck once decodes were cached.
   for (int i = 0; i < n_imgs; ++i) {
     float* dst = out + (size_t)i * h * w * 3;
-    for (int y = 0; y < h; ++y) {
-      const float* row = imgs[i].ptr<float>(y);
-      for (int x = 0; x < w; ++x)
-        for (int c = 0; c < 3; ++c) {
-          float v = row[x * 3 + c] / 255.0f;
-          if (aug->normalize) v = (v - mean[c]) / stdv[c];
-          dst[(size_t)(y * w + x) * 3 + c] = v;
-        }
+    cv::Mat view(h, w, CV_32FC3, dst);
+    cv::divide(imgs[i], cv::Scalar(255.0, 255.0, 255.0), view);
+    if (aug->normalize) {
+      cv::subtract(view, cv::Scalar(mean[0], mean[1], mean[2]), view);
+      cv::divide(view, cv::Scalar(stdv[0], stdv[1], stdv[2]), view);
     }
   }
   return 0;
@@ -291,6 +364,6 @@ int dp_pool_wait(void* pool, int ticket) {
   return rc;
 }
 
-int dp_version() { return 2; }  // 2: dp_aug in_h/in_w + expect_h/expect_w
+int dp_version() { return 3; }  // 3: LRU decode cache (2: dp_aug in_h/in_w + expect_h/expect_w)
 
 }  // extern "C"

@@ -119,7 +119,7 @@ def conv_kind(a) -> str:
     od = out_dims(a)
     # wgrad produces a kernel-shaped output (spatial dims <= 8, no batch);
     # XLA may permute dims, so test: two dims <= 8 and total size small
-    if od and sorted(od)[0] <= 8 and sorted(od)[1] <= 8 and \
+    if len(od) >= 2 and sorted(od)[0] <= 8 and sorted(od)[1] <= 8 and \
             int(np.prod(od)) < 4 * 1024 * 1024:
         return "wgrad"
     return "dgrad"

@@ -271,3 +271,41 @@ def test_submit_flow_file_parity(ckpt_dir, kitti2015_832_dir, tmp_path):
         fa = flow_read_flo(str(my_out / "testing_flo" / f"{name}.flo"))
         fb = flow_read_flo(str(ref_out / "testing_flo" / f"{name}.flo"))
         np.testing.assert_allclose(fa, fb, atol=2e-3)
+
+
+def test_disp_metric_parity_through_resize(ckpt_dir, eigen_dir_hires):
+    """test_disp parity with the resampling path EXERCISED: the tree is
+    fabricated at 192x640, both CLIs evaluate at the native HxW, so every
+    input goes through a real downscale first — the reference through the
+    scipy imresize shim (PIL uint8 bilinear, ref test_disp.py:81-83), this
+    framework through cv2.resize INTER_LINEAR (cli/test_disp.py:120-122).
+
+    The two libraries' uint8 bilinear kernels legitimately differ (PIL
+    uses fixed-point incremental accumulation with different rounding, and
+    for downscales PIL BILINEAR averages over the full source footprint
+    while cv2 INTER_LINEAR samples 2x2 taps), so input pixels differ by
+    O(1/255..few%) BEFORE the nets — bit parity is unachievable by
+    construction. The assertion pins the achievable agreement: relative
+    metric deltas within 2% (measured worst: 0.38% at this scene/net
+    scale), versus the 1e-3 of the no-resize oracles above."""
+    from cc_tpu.cli.test_disp import main as my_main
+    from tests.ref_cli_oracle import parse_metric_rows, run_reference_cli
+
+    common = [
+        "--pretrained-dispnet", str(ckpt_dir / "dispnet_model_best.pth.tar"),
+        "--pretrained-posenet",
+        str(ckpt_dir / "poseexpnet_model_best.pth.tar"),
+        "--img-height", str(H), "--img-width", str(W),
+        "--dataset-dir", str(eigen_dir_hires),
+        "--dataset-list", str(eigen_dir_hires / "test_files.txt"),
+    ]
+    mine = my_main(common + ["--posenet", "PoseExpNet", "--seq-length", "3"])
+    out = run_reference_cli("test_disp", common)
+    rows = parse_metric_rows(out, 7)
+    assert len(rows) == 2, out
+    worst = max(float(np.max(np.abs(np.asarray(m) - np.asarray(r))
+                             / (np.abs(np.asarray(r)) + 1e-6)))
+                for m, r in zip(mine, rows))
+    print(f"\nresize-path parity: worst relative metric delta {worst:.4f}")
+    for m, r in zip(mine, rows):
+        np.testing.assert_allclose(m, r, rtol=2e-2, atol=2e-2)
