@@ -116,6 +116,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data plane: native = C++ decode+augment "
                         "(cc_tpu/native, numerically matching python); "
                         "auto = native when it builds, else python")
+    p.add_argument("--h2d", choices=["float32", "uint8"], default="float32",
+                   help="train-batch host->device format: uint8 ships "
+                        "un-normalized pixels (4x less H2D traffic; "
+                        "normalization fuses into the device step). "
+                        "Pixel numerics change by <=0.5/255 vs float32. "
+                        "Requires --data-normalization global")
     return p
 
 
@@ -241,6 +247,12 @@ class _NullLogger:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    # flag-combination errors before ANY side effect (recorder writes,
+    # distributed init)
+    if args.h2d == "uint8" and args.data_normalization == "local":
+        raise ValueError("--h2d uint8 requires --data-normalization global "
+                         "(local stats are a host-side joint reduction)")
+
     # Multi-host (pod-slice) launch: bring up the multi-process runtime
     # BEFORE any device use — jax.devices() then lists the global device
     # set and the data mesh spans all hosts. The reference wires its
@@ -279,13 +291,13 @@ def main(argv=None):
 
     norm = args.data_normalization
     train_tf = transforms.train_transform(
-        norm, with_rotation=not args.fix_flownet)
+        norm, with_rotation=not args.fix_flownet, emit=args.h2d)
     if args.loader != "python":
         from cc_tpu import native
         if native.lib() is not None:
             from cc_tpu.data.native_pipeline import NativeTrainPipeline
             train_tf = NativeTrainPipeline(
-                norm, with_rotation=not args.fix_flownet)
+                norm, with_rotation=not args.fix_flownet, emit=args.h2d)
             print("=> native (C++) data plane active")
         elif args.loader == "native":
             raise RuntimeError("--loader native requested but the C++ data "
@@ -401,6 +413,8 @@ def main(argv=None):
                 from cc_tpu.utils.viz import (flow_to_image,
                                               image_to_display, scalar_to_rgb)
                 tgt0 = np.asarray(batch["tgt"])[0]
+                if tgt0.dtype == np.uint8:  # --h2d uint8 compact mode
+                    tgt0 = (tgt0.astype(np.float32) / 255.0 - 0.5) / 0.5
                 writer.add_image("train Input", image_to_display(tgt0),
                                  n_iter)
                 writer.add_image(

@@ -44,13 +44,30 @@ class _NativePipelineBase:
 
 
 class NativeTrainPipeline(_NativePipelineBase):
-    """Spec equivalent of transforms.train_transform(normalize, with_rotation)."""
+    """Spec equivalent of transforms.train_transform(normalize, with_rotation).
 
-    def __init__(self, normalize: str = "global", with_rotation: bool = True):
+    emit='uint8' is the compact-H2D mode (see transforms.QuantizeU8): the
+    C++ plane runs with normalize off (emitting x/255 floats) and the
+    augmented pixels are rounded back to uint8 here — 4x less
+    host->device traffic; the (x/255-mean)/std runs on device."""
+
+    def __init__(self, normalize: str = "global", with_rotation: bool = True,
+                 emit: str = "float32"):
         self.normalize = normalize
         self.with_rotation = with_rotation
+        self.emit = emit
+        if emit == "uint8" and normalize == "local":
+            raise ValueError("emit='uint8' requires global normalization")
         from cc_tpu.data import transforms
-        self.fallback = transforms.train_transform(normalize, with_rotation)
+        self.fallback = transforms.train_transform(normalize, with_rotation,
+                                                   emit)
+
+    def process(self, paths, rng, in_h, in_w, intrinsics):
+        result = super().process(paths, rng, in_h, in_w, intrinsics)
+        if result is None or self.emit != "uint8":
+            return result
+        imgs, k = result  # normalize=0 output is x/255 in 0..1
+        return np.clip(np.rint(imgs * 255.0), 0, 255).astype(np.uint8), k
 
     def draw(self, rng: np.random.Generator, in_h: int, in_w: int,
              intrinsics: np.ndarray):
@@ -75,7 +92,10 @@ class NativeTrainPipeline(_NativePipelineBase):
         aug.scaled_h, aug.scaled_w = scaled_h, scaled_w
         aug.crop_x, aug.crop_y = off_x, off_y
         aug.out_h, aug.out_w = in_h, in_w
-        aug.normalize = 2 if self.normalize == "local" else 1
+        if self.emit == "uint8":
+            aug.normalize = 0  # device normalizes; C++ emits x/255
+        else:
+            aug.normalize = 2 if self.normalize == "local" else 1
         aug.mean, aug.std = 0.5, 0.5
         return aug, k.astype(np.float32)
 

@@ -106,9 +106,14 @@ class SequenceFolder:
             imgs, intrinsics = transform([tgt] + refs, intrinsics,
                                          self._rng(index))
             tgt, refs = imgs[0], imgs[1:]
+        tgt = np.asarray(tgt)
+        refs = np.stack(refs)
+        if tgt.dtype != np.uint8:  # compact-H2D mode ships uint8 as-is
+            tgt = tgt.astype(np.float32)
+            refs = refs.astype(np.float32)
         return {
-            "tgt": np.asarray(tgt, np.float32),
-            "refs": np.stack(refs).astype(np.float32),
+            "tgt": tgt,
+            "refs": refs,
             "intrinsics": intrinsics.astype(np.float32),
             "intrinsics_inv": np.linalg.inv(intrinsics).astype(np.float32),
         }

@@ -62,6 +62,20 @@ class Normalize:
         return [(im - self.mean) / self.std for im in images], intrinsics
 
 
+class QuantizeU8:
+    """Round 0..255 float images to uint8 for the compact-H2D path: the
+    host ships 1/4 the bytes and the (x/255 - mean)/std normalization runs
+    on device (train/step.py _device_normalize). Augmented pixels are
+    interpolated floats, so this rounds them to the nearest 1/255 — a
+    documented numerics delta vs the float path (bounded by 0.5/255 per
+    pixel, far below photometric noise); source pixels untouched by
+    interpolation round back exactly."""
+
+    def __call__(self, images, intrinsics, rng=None):
+        return [np.clip(np.rint(im), 0, 255).astype(np.uint8)
+                for im in images], intrinsics
+
+
 class NormalizeLocally:
     """Per-sample channel mean/std over the whole image list
     (custom_transforms.py:33-44)."""
@@ -144,11 +158,22 @@ class Scale:
         return [_resize(im, self.h, self.w) for im in images], k
 
 
-def train_transform(normalize: str = "global", with_rotation: bool = True):
+def train_transform(normalize: str = "global", with_rotation: bool = True,
+                    emit: str = "float32"):
+    """emit='uint8' ships un-normalized uint8 (compact-H2D mode: 4x less
+    host->device traffic; normalization happens on device). Only valid
+    with global normalization — local stats are a host-side joint
+    reduction over the sample."""
     ts = []
     if with_rotation:
         ts.append(RandomRotate())
-    ts += [RandomHorizontalFlip(), RandomScaleCrop(), ToFloat()]
+    ts += [RandomHorizontalFlip(), RandomScaleCrop()]
+    if emit == "uint8":
+        if normalize == "local":
+            raise ValueError("emit='uint8' requires global normalization")
+        ts.append(QuantizeU8())
+        return Compose(ts)
+    ts.append(ToFloat())
     ts.append(NormalizeLocally() if normalize == "local" else Normalize())
     return Compose(ts)
 

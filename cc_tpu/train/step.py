@@ -39,11 +39,25 @@ def _maybe_sg(tree, frozen: bool):
     return jax.tree_util.tree_map(sg, tree) if frozen else tree
 
 
+def _device_normalize(x):
+    """Compact-H2D mode: train batches may arrive as uint8 (--h2d uint8;
+    data/transforms.QuantizeU8) to quarter the host->device traffic; the
+    global (x/255 - .5)/.5 normalization then runs HERE, on device, fused
+    into the step. Same op order as transforms.Normalize so the result
+    matches the host float path to within the documented 0.5/255
+    quantization bound. jit traces per dtype, so float batches take the
+    identity branch at trace time."""
+    if x.dtype == jnp.uint8:
+        return (x.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+    return x
+
+
 def forward_all(cfg: TrainConfig, mods: CCModels, params, batch_stats, batch,
                 training: bool = True):
     """Run all four nets; returns (outputs dict, new_batch_stats)."""
-    tgt = batch["tgt"]
-    refs = [batch["refs"][:, i] for i in range(batch["refs"].shape[1])]
+    tgt = _device_normalize(batch["tgt"])
+    refs_all = _device_normalize(batch["refs"])
+    refs = [refs_all[:, i] for i in range(refs_all.shape[1])]
 
     dt = cfg.compute_dtype
     disparities, bs_disp = apply_net(mods.disp, params["disp"],

@@ -1,0 +1,178 @@
+"""Compact-H2D (--h2d uint8) path: the host ships augmented uint8 pixels
+(4x less host->device traffic — the measured fix for H2D-bound hosts, see
+PARITY.md "Host-included training throughput") and the global
+(x/255-.5)/.5 normalization runs on device, fused into the jitted step
+(train/step.py _device_normalize).
+
+Contracts tested:
+- the uint8 pipeline's device-normalized images match the float32
+  pipeline within the quantization bound (0.5/255 per pixel pre-norm);
+- the native (C++) uint8 emit matches the Python uint8 emit;
+- a real train step consumes a uint8 batch and matches the float step
+  to quantization-level loss noise;
+- local normalization is rejected (its stats are a host-side joint
+  reduction over the sample — there is nothing to fuse on device).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cc_tpu.data import transforms
+
+H, W = 64, 96
+
+
+def _fake_images(n=3, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 255, (H, W, 3), np.uint8).astype(np.float32)
+            for _ in range(n)]
+
+
+class TestQuantizeU8:
+    def test_emit_uint8_dtype_and_bound(self):
+        """uint8 emit == float path to within half a pixel count."""
+        imgs = _fake_images()
+        k = np.eye(3, dtype=np.float32)
+        rng1, rng2 = (np.random.default_rng([0, 7]) for _ in range(2))
+        tf_f = transforms.train_transform("global", with_rotation=True)
+        tf_u = transforms.train_transform("global", with_rotation=True,
+                                          emit="uint8")
+        out_f, k_f = tf_f([im.copy() for im in imgs], k.copy(), rng1)
+        out_u, k_u = tf_u([im.copy() for im in imgs], k.copy(), rng2)
+        np.testing.assert_array_equal(k_f, k_u)  # same rng draw sequence
+        for f, u in zip(out_f, out_u):
+            assert u.dtype == np.uint8
+            dev = (u.astype(np.float32) / 255.0 - 0.5) / 0.5
+            # pre-norm quantization bound 0.5/255, /0.5 post-norm
+            np.testing.assert_allclose(dev, f, atol=0.5 / 255 / 0.5 + 1e-6)
+
+    def test_local_normalize_rejected(self):
+        with pytest.raises(ValueError, match="global"):
+            transforms.train_transform("local", emit="uint8")
+
+    def test_cli_rejects_local(self, tmp_path):
+        from cc_tpu.cli.train import main
+        with pytest.raises(ValueError, match="global"):
+            main([str(tmp_path), "--name", "u8x", "--h2d", "uint8",
+                  "--data-normalization", "local"])
+
+
+class TestDeviceNormalize:
+    def test_uint8_normalize_matches_host(self):
+        """jitted _device_normalize(uint8) == host float normalize of the
+        SAME quantized pixels (identical op order, fp32 both sides)."""
+        import jax
+        from cc_tpu.train.step import _device_normalize
+
+        rng = np.random.default_rng(1)
+        u8 = rng.integers(0, 256, (2, H, W, 3), np.uint8)
+        host = (u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+        dev = np.asarray(jax.jit(_device_normalize)(u8))
+        assert dev.dtype == np.float32
+        np.testing.assert_allclose(dev, host, atol=2e-7)
+
+    def test_float_passthrough_identity(self):
+        import jax
+        import jax.numpy as jnp
+        from cc_tpu.train.step import _device_normalize
+
+        x = jnp.linspace(-1, 1, 30).reshape(2, 5, 3).astype(jnp.float32)
+        np.testing.assert_array_equal(np.asarray(jax.jit(_device_normalize)(x)),
+                                      np.asarray(x))
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    import cv2
+    import os
+    root = tmp_path_factory.mktemp("u8scenes")
+    rng = np.random.default_rng(3)
+    k = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1]])
+    d = root / "s0"
+    os.makedirs(str(d), exist_ok=True)
+    with open(d / "cam.txt", "w") as f:
+        f.write("\n".join(",".join(map(str, r)) for r in k))
+    for i in range(7):
+        img = cv2.GaussianBlur(
+            rng.integers(0, 255, (H, W, 3), np.uint8), (7, 7), 2)
+        cv2.imwrite(str(d / f"{i:07d}.jpg"), img)
+    (root / "train.txt").write_text("s0\n")
+    (root / "val.txt").write_text("s0\n")
+    return root
+
+
+class TestSequenceFolderU8:
+    def test_batch_ships_uint8(self, scene_dir):
+        from cc_tpu.data.sequence_folders import SequenceFolder
+        tf = transforms.train_transform("global", emit="uint8")
+        ds = SequenceFolder(str(scene_dir), seed=5, train=True,
+                            sequence_length=5, transform=tf)
+        s = ds[0]
+        assert s["tgt"].dtype == np.uint8
+        assert s["refs"].dtype == np.uint8
+        assert s["intrinsics"].dtype == np.float32
+
+    def test_native_uint8_matches_python(self, scene_dir):
+        from cc_tpu import native
+        if native.lib() is None:
+            pytest.skip("C++ data plane unavailable")
+        from cc_tpu.data.native_pipeline import NativeTrainPipeline
+        from cc_tpu.data.sequence_folders import SequenceFolder
+
+        pipe = NativeTrainPipeline("global", with_rotation=False,
+                                   emit="uint8")
+        ds_n = SequenceFolder(str(scene_dir), seed=5, train=True,
+                              sequence_length=5, transform=pipe)
+        ds_p = SequenceFolder(str(scene_dir), seed=5, train=True,
+                              sequence_length=5, transform=pipe.fallback)
+        for idx in range(min(3, len(ds_n))):
+            a, b = ds_n[idx], ds_p[idx]
+            assert a["tgt"].dtype == b["tgt"].dtype == np.uint8
+            for key in ("tgt", "refs"):
+                # native emits x/255 floats re-scaled here; the double
+                # rounding can move a pixel sitting exactly on a .5
+                # boundary by one count vs the Python path
+                d = np.abs(a[key].astype(np.int16) - b[key].astype(np.int16))
+                assert d.max() <= 1, d.max()
+                assert (d > 0).mean() < 1e-3, (d > 0).mean()
+
+
+class TestTrainStepU8:
+    def test_step_on_uint8_batch(self):
+        """A real (tiny) train step consumes a uint8 batch; loss matches
+        the float path run on the SAME quantized pixels exactly-ish."""
+        import jax
+        import jax.numpy as jnp
+        from cc_tpu.train import (TrainConfig, build_train_step, init_state,
+                                  make_models)
+
+        h, w, b = 64, 64, 1
+        # smooth_loss_weight=0: the regular (2nd-derivative) smoothness is
+        # nan at 64x64 — the coarsest pyramid map is 1-2 px, diff-of-diff
+        # is empty, and mean(empty)=nan in torch and jax alike (the
+        # reference has the identical domain limit); irrelevant to what
+        # this test checks (uint8 H2D parity)
+        cfg = TrainConfig(height=h, width=w, batch_size=b,
+                          smooth_loss_weight=0.0)
+        mods = make_models(cfg)
+        state = init_state(cfg, jax.random.PRNGKey(0))
+        step = build_train_step(cfg, mods, donate=False)
+
+        rng = np.random.default_rng(2)
+        u8_t = rng.integers(0, 256, (b, h, w, 3), np.uint8)
+        u8_r = rng.integers(0, 256, (b, 4, h, w, 3), np.uint8)
+        k = np.tile(np.array([[50.0, 0, w / 2], [0, 50.0, h / 2], [0, 0, 1]],
+                             np.float32), (b, 1, 1))
+        norm = lambda x: (x.astype(np.float32) / 255.0 - 0.5) / 0.5
+        batch_u8 = {"tgt": jnp.asarray(u8_t), "refs": jnp.asarray(u8_r),
+                    "intrinsics": jnp.asarray(k),
+                    "intrinsics_inv": jnp.asarray(np.linalg.inv(k))}
+        batch_f = dict(batch_u8, tgt=jnp.asarray(norm(u8_t)),
+                       refs=jnp.asarray(norm(u8_r)))
+
+        _, m_u8 = step(state, batch_u8)
+        _, m_f = step(state, batch_f)
+        assert np.isfinite(float(m_u8["loss"]))
+        np.testing.assert_allclose(float(m_u8["loss"]), float(m_f["loss"]),
+                                   rtol=1e-4)
