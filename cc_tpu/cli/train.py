@@ -230,6 +230,25 @@ def validate_flow(cfg, mods, state, val_loader, fwd_eval,
     return errors.avg, names
 
 
+def _host_local_tree(tree):
+    """Host-local numpy copy of a pytree that may hold multi-host global
+    jax.Arrays (multi-process launch): fully-replicated leaves (params /
+    batch_stats under the mesh's replicated out_shardings) fetch whole;
+    batch-sharded leaves fetch this process's first device shard. Lets
+    primary-only non-collective work (validation, image logging) run as a
+    purely local computation instead of a jit call on non-addressable
+    arrays — a collective the other processes never join."""
+    import jax
+
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if x.is_fully_replicated:
+                return np.asarray(x)
+            return np.asarray(x.addressable_data(0))
+        return np.asarray(x)
+    return jax.tree_util.tree_map(fetch, tree)
+
+
 class _NullLogger:
     """Write-sink for non-primary processes in a multi-host launch: the
     SummaryLogger / CsvLogger call surface, dropping everything."""
@@ -275,7 +294,6 @@ def main(argv=None):
     from cc_tpu.data import (DataLoader, SequenceFolder, ValidationSet,
                              device_prefetch, transforms)
     from cc_tpu.data.validation import ValidationFlow
-    from cc_tpu.parallel import shard_batch
     from cc_tpu.parallel.mesh import make_mesh_for_batch
     from cc_tpu.train import (build_forward_eval, build_train_step,
                               init_state, make_models)
@@ -346,6 +364,16 @@ def main(argv=None):
                                      flow=args.pretrained_flow)
     if args.resume:
         print("=> resuming from checkpoint")
+        if pcount > 1 and not os.path.isdir(
+                os.path.join(save_path, "checkpoint")):
+            # checkpoints are written by process 0 only (below); without a
+            # shared filesystem the other hosts would silently init fresh
+            # params and desynchronize the replicated state
+            raise FileNotFoundError(
+                f"--resume in a multi-host launch: '{save_path}/checkpoint' "
+                f"not visible on this process — "
+                "the checkpoint directory must live on a filesystem shared "
+                "by all hosts")
         state = load_checkpoint(save_path, state)
 
     if pcount > 1 and args.batch_size % len(jax.devices()) != 0:
@@ -359,7 +387,6 @@ def main(argv=None):
           f"jitting train step")
     step_fn = build_train_step(cfg, mods, mesh=mesh)
     fwd_eval = build_forward_eval(cfg, mods)
-    import jax.numpy as jnp
 
     def fwd_disp(params, batch_stats, tgt):
         from cc_tpu.train.state import apply_net
@@ -408,11 +435,19 @@ def main(argv=None):
             state, metrics = step_fn(state, batch)
             if (primary and args.training_output_freq > 0
                     and n_iter % args.training_output_freq == 0):
-                # training image logging (train.py:521-560)
-                out = fwd_eval(state.params, state.batch_stats, batch)
+                # training image logging (train.py:521-560); in a
+                # multi-host launch this primary-only block must not jit
+                # over globally-sharded arrays (see _host_local_tree)
+                if pcount > 1:
+                    p_l = _host_local_tree(state.params)
+                    bs_l = _host_local_tree(state.batch_stats)
+                    b_l = _host_local_tree(batch)
+                else:
+                    p_l, bs_l, b_l = state.params, state.batch_stats, batch
+                out = fwd_eval(p_l, bs_l, b_l)
                 from cc_tpu.utils.viz import (flow_to_image,
                                               image_to_display, scalar_to_rgb)
-                tgt0 = np.asarray(batch["tgt"])[0]
+                tgt0 = np.asarray(b_l["tgt"])[0]
                 if tgt0.dtype == np.uint8:  # --h2d uint8 compact mode
                     tgt0 = (tgt0.astype(np.float32) / 255.0 - 0.5) / 0.5
                 writer.add_image("train Input", image_to_display(tgt0),
@@ -459,9 +494,17 @@ def main(argv=None):
         logger.reset_valid_bar()
 
         flow_errors = depth_errors = None
+        # validation is primary-only and non-collective: on a multi-host
+        # launch it must consume host-local copies of the replicated state
+        eval_state = state
+        if pcount > 1 and (val_flow_loader is not None
+                           or val_depth_loader is not None):
+            eval_state = state.replace(
+                params=_host_local_tree(state.params),
+                batch_stats=_host_local_tree(state.batch_stats))
         if val_flow_loader is not None:
             flow_errors, flow_names = validate_flow(
-                cfg, mods, state, iter(val_flow_loader), fwd_eval,
+                cfg, mods, eval_state, iter(val_flow_loader), fwd_eval,
                 output_writers=output_writers, epoch=epoch,
                 term_logger=logger)
             for e, n in zip(flow_errors, flow_names):
@@ -472,7 +515,7 @@ def main(argv=None):
             # depth validation iterates a different loader than flow's
             logger.reset_valid_bar(len(val_depth_loader))
             depth_errors, depth_names = validate_depth(
-                cfg, mods, state, iter(val_depth_loader), fwd_disp,
+                cfg, mods, eval_state, iter(val_depth_loader), fwd_disp,
                 term_logger=logger)
             for e, n in zip(depth_errors, depth_names):
                 writer.add_scalar(n, e, epoch)

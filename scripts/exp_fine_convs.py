@@ -135,15 +135,7 @@ def case_d():
         bench(f"D tapdot  {ci}->{co} f+g", grad_wrap(tap_dot), x, w)
 
 
-def case_e():
-    """Does pinning the jit input layout of the batch kill the step-entry
-    copies (refs slices 1.8 ms + tgt 0.45 ms)? Mimic: tgt+refs consumed by
-    a channel-concat stem conv, with default vs explicit input formats."""
-    from jax.experimental.layout import Layout, Format  # may not exist
-    print("layout API available")
-
-
 if __name__ == "__main__":
     todo = [a.lower() for a in sys.argv[1:]] or ["a", "b", "c", "d"]
     for t in todo:
-        {"a": case_a, "b": case_b, "c": case_c, "d": case_d, "e": case_e}[t]()
+        {"a": case_a, "b": case_b, "c": case_c, "d": case_d}[t]()

@@ -168,8 +168,8 @@ def main():
         key = (scope(a), conv_kind(a))
         g = conv_groups[key]
         g[0] += dur / n
-        g[1] += cnt // n
-        g[2] += float(a.get("model_flops", 0)) * (cnt // n)
+        g[1] += cnt / n  # float: an op can run fewer times than n steps
+        g[2] += float(a.get("model_flops", 0)) * (cnt / n)
         g[3] = a
     rows = []
     for (sc, kind), (ms, cnt, flops, a) in conv_groups.items():
@@ -193,7 +193,7 @@ def main():
     print(f"{'ms/st':>7} {'TF/s':>6} {'kind':5} {'n':>2}  out_shape        "
           f"scope @line")
     for ms, tfs, kind, cnt, sc, src, od in rows[:args.top]:
-        print(f"{ms:7.2f} {tfs:6.1f} {kind:5} {cnt:2d}  {od:16s} {sc} @{src}")
+        print(f"{ms:7.2f} {tfs:6.1f} {kind:5} {cnt:4.1f}  {od:16s} {sc} @{src}")
 
     # ---- table C: data formatting (layout copies), grouped by shape sig
     fmt_groups = defaultdict(lambda: [0.0, 0, 0.0, None])
@@ -206,8 +206,8 @@ def main():
         sig = re.sub(r"\s+", " ", sig).strip()[:110]
         g = fmt_groups[sig]
         g[0] += dur / n
-        g[1] += cnt // n
-        g[2] += float(a.get("bytes_accessed", 0)) * (cnt // n)
+        g[1] += cnt / n  # float: an op can run fewer times than n steps
+        g[2] += float(a.get("bytes_accessed", 0)) * (cnt / n)
         g[3] = a
     frows = [(ms, cnt, byts / (ms / 1e3) / 1e9 if ms else 0, sig,
               repo_frame(a), scope(a))
@@ -218,7 +218,7 @@ def main():
           f"{sum(r[1] for r in frows)} ops ==")
     print(f"{'ms/st':>7} {'n':>3} {'GB/s':>6}  signature  @line  scope")
     for ms, cnt, gbs, sig, src, sc in frows[:args.top]:
-        print(f"{ms:7.2f} {cnt:3d} {gbs:6.0f}  {sig}  @{src}  {sc[:60]}")
+        print(f"{ms:7.2f} {cnt:5.1f} {gbs:6.0f}  {sig}  @{src}  {sc[:60]}")
 
     # ---- table D: loop fusions by repo source line
     loop_groups = defaultdict(lambda: [0.0, 0])
@@ -228,13 +228,13 @@ def main():
             continue
         key = (a.get("hlo_category"), repo_frame(a))
         loop_groups[key][0] += dur / n
-        loop_groups[key][1] += cnt // n
+        loop_groups[key][1] += cnt / n
     lrows = sorted(((ms, cnt, cat, src)
                     for (cat, src), (ms, cnt) in loop_groups.items()),
                    key=lambda r: -r[0])
     print(f"\n== loop/custom fusions + reduces by source line ==")
     for ms, cnt, cat, src in lrows[:args.top]:
-        print(f"{ms:7.2f} {cnt:3d}x {cat:16s} @{src}")
+        print(f"{ms:7.2f} {cnt:5.1f}x {cat:16s} @{src}")
 
     if args.csv:
         import csv
