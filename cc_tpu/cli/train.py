@@ -60,6 +60,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "(optax.apply_if_finite) — the standard mixed-"
                         "precision guard; recommended with --compute-dtype "
                         "bfloat16")
+    p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                   default="float32", dest="compute_dtype",
+                   help="net forward/backward dtype; bfloat16 runs the 4 "
+                        "nets at MXU bf16 rate (use with --clip-grad-norm 5 "
+                        "--skip-nonfinite-updates; see PARITY.md bf16 notes)")
+    p.add_argument("--loss-dtype", choices=["float32", "bfloat16"],
+                   default="float32", dest="loss_dtype",
+                   help="loss-stack dtype; bfloat16 casts image payloads + "
+                        "masks at the loss boundary (geometry and all "
+                        "reductions stay fp32). Changes loss numerics "
+                        "~1e-2 relative")
     p.add_argument("--print-freq", type=int, default=10)
     p.add_argument("--smoothness-type", choices=["edgeaware", "regular"],
                    default="regular")
@@ -152,6 +163,7 @@ def config_from_args(args):
         joint_mask_for_depth=args.joint_mask_for_depth,
         fix_dispnet=args.fix_dispnet, fix_posenet=fix_pose,
         fix_masknet=fix_mask, fix_flownet=args.fix_flownet,
+        compute_dtype=args.compute_dtype, loss_dtype=args.loss_dtype,
     )
 
 
@@ -449,7 +461,7 @@ def main(argv=None):
                                               image_to_display, scalar_to_rgb)
                 tgt0 = np.asarray(b_l["tgt"])[0]
                 if tgt0.dtype == np.uint8:  # --h2d uint8 compact mode
-                    tgt0 = (tgt0.astype(np.float32) / 255.0 - 0.5) / 0.5
+                    tgt0 = transforms.dequantize_u8(tgt0)
                 writer.add_image("train Input", image_to_display(tgt0),
                                  n_iter)
                 writer.add_image(

@@ -47,9 +47,12 @@ class NativeTrainPipeline(_NativePipelineBase):
     """Spec equivalent of transforms.train_transform(normalize, with_rotation).
 
     emit='uint8' is the compact-H2D mode (see transforms.QuantizeU8): the
-    C++ plane runs with normalize off (emitting x/255 floats) and the
-    augmented pixels are rounded back to uint8 here — 4x less
-    host->device traffic; the (x/255-mean)/std runs on device."""
+    C++ plane runs in raw-emit mode (0..255 floats, no /255) and the
+    augmented pixels are rounded to uint8 here — the same single rint as
+    the Python QuantizeU8 path, so rounding adds no divergence (any
+    residual delta vs Python is the documented resize-interpolation
+    library difference, see dataplane.cpp) — for 4x less host->device
+    traffic; the (x/255-mean)/std normalization runs on device."""
 
     def __init__(self, normalize: str = "global", with_rotation: bool = True,
                  emit: str = "float32"):
@@ -66,8 +69,8 @@ class NativeTrainPipeline(_NativePipelineBase):
         result = super().process(paths, rng, in_h, in_w, intrinsics)
         if result is None or self.emit != "uint8":
             return result
-        imgs, k = result  # normalize=0 output is x/255 in 0..1
-        return np.clip(np.rint(imgs * 255.0), 0, 255).astype(np.uint8), k
+        imgs, k = result  # raw-emit output is 0..255 floats
+        return np.clip(np.rint(imgs), 0, 255).astype(np.uint8), k
 
     def draw(self, rng: np.random.Generator, in_h: int, in_w: int,
              intrinsics: np.ndarray):
@@ -93,7 +96,7 @@ class NativeTrainPipeline(_NativePipelineBase):
         aug.crop_x, aug.crop_y = off_x, off_y
         aug.out_h, aug.out_w = in_h, in_w
         if self.emit == "uint8":
-            aug.normalize = 0  # device normalizes; C++ emits x/255
+            aug.normalize = -1  # device normalizes; C++ emits raw 0..255
         else:
             aug.normalize = 2 if self.normalize == "local" else 1
         aug.mean, aug.std = 0.5, 0.5

@@ -76,6 +76,14 @@ class QuantizeU8:
                 for im in images], intrinsics
 
 
+def dequantize_u8(img: np.ndarray) -> np.ndarray:
+    """Host-side (numpy) twin of train/step._device_normalize for uint8
+    compact-H2D batches: (x/255 - .5)/.5. Single definition so host
+    consumers (e.g. training image logging) can never drift from what the
+    jitted step computes on device."""
+    return (img.astype(np.float32) / 255.0 - 0.5) / 0.5
+
+
 class NormalizeLocally:
     """Per-sample channel mean/std over the whole image list
     (custom_transforms.py:33-44)."""

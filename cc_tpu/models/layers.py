@@ -52,17 +52,18 @@ class _DotConv(nn.Conv):
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
-        s = self.strides[0]
         # the lowerings implement plain dense convs only — any dilation,
         # grouping, or anisotropic stride must fall through to nn.Conv
         # (silently ignoring them would be numerically wrong, not slow)
         def _pair(v):  # flax accepts None / int / sequence
             return ((1, 1) if v is None
                     else (v, v) if isinstance(v, int) else tuple(v))
+        st = _pair(self.strides)  # nn.Conv's default is the int 1
+        s = st[0]
         plain = (_pair(self.kernel_dilation) == (1, 1)
                  and _pair(self.input_dilation) == (1, 1)
                  and self.feature_group_count == 1
-                 and self.strides[0] == self.strides[1])
+                 and st[0] == st[1])
         is_1x1 = (plain and tuple(k) == (1, 1)
                   and self.padding == ((0, 0), (0, 0)))
         is_tap = (plain and tuple(k) == (3, 3) and s == 1

@@ -42,7 +42,7 @@ class DpAug(ctypes.Structure):
     ]
 
 
-_ABI_VERSION = 3  # must match dp_version() in dataplane.cpp
+_ABI_VERSION = 4  # must match dp_version() in dataplane.cpp
 
 
 def _pkg_flags() -> list[str]:

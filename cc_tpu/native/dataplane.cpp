@@ -22,6 +22,8 @@
 #include <opencv2/imgcodecs.hpp>
 #include <opencv2/imgproc.hpp>
 
+#include <sys/stat.h>
+
 #include <atomic>
 #include <condition_variable>
 #include <cstdlib>
@@ -95,6 +97,23 @@ struct DecodeCache {
 
 DecodeCache g_decode_cache;
 
+// Cache key = path + mtime(ns) + size: a file rewritten in place during
+// the process lifetime (e.g. the ETL re-preparing a dataset) must miss —
+// a path-only key would serve the old pixels forever while the Python
+// fallback re-reads from disk (silent divergence, no error).
+std::string decode_cache_key(const char* path) {
+  struct stat st;
+  std::string key(path);
+  if (::stat(path, &st) == 0) {
+    key += '|';
+    key += std::to_string((long long)st.st_mtim.tv_sec * 1000000000LL +
+                          st.st_mtim.tv_nsec);
+    key += '|';
+    key += std::to_string((long long)st.st_size);
+  }
+  return key;
+}
+
 }  // namespace
 
 extern "C" {
@@ -112,7 +131,8 @@ typedef struct {
   int out_w;
   int resize_h;       // deterministic pre-resize (Scale transform; 0 = off)
   int resize_w;
-  int normalize;      // 0 none, 1 global (mean/std), 2 local (joint stats)
+  int normalize;      // -1 raw 0..255 floats (uint8-emit mode: no /255),
+                      // 0 x/255 only, 1 global (mean/std), 2 local (joint)
   float mean, std;    // global normalization parameters
   int in_h, in_w;     // expected decode dims (0 = unchecked); the caller's
                       // crop/flip-cx math was computed from these, so a
@@ -130,7 +150,7 @@ static int dp_process_sample_impl(const char* paths, int n_imgs,
   std::vector<cv::Mat> imgs(n_imgs);
   const char* p = paths;
   for (int i = 0; i < n_imgs; ++i) {
-    const std::string key(p);
+    const std::string key = decode_cache_key(p);
     cv::Mat rgb;
     if (!g_decode_cache.get(key, &rgb)) {
       cv::Mat bgr = cv::imread(p, cv::IMREAD_COLOR);
@@ -254,6 +274,13 @@ static int dp_process_sample_impl(const char* paths, int n_imgs,
   for (int i = 0; i < n_imgs; ++i) {
     float* dst = out + (size_t)i * h * w * 3;
     cv::Mat view(h, w, CV_32FC3, dst);
+    if (aug->normalize < 0) {
+      // raw-emit mode (uint8 H2D): the caller rounds these 0..255 floats
+      // straight to uint8 — dividing by 255 here only for Python to
+      // multiply back would double-round pixels sitting on .5 boundaries
+      imgs[i].copyTo(view);
+      continue;
+    }
     cv::divide(imgs[i], cv::Scalar(255.0, 255.0, 255.0), view);
     if (aug->normalize) {
       cv::subtract(view, cv::Scalar(mean[0], mean[1], mean[2]), view);
@@ -364,6 +391,6 @@ int dp_pool_wait(void* pool, int ticket) {
   return rc;
 }
 
-int dp_version() { return 3; }  // 3: LRU decode cache (2: dp_aug in_h/in_w + expect_h/expect_w)
+int dp_version() { return 4; }  // 4: stat-keyed cache + raw emit (3: LRU cache; 2: dims guards)
 
 }  // extern "C"

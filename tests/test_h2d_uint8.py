@@ -130,12 +130,16 @@ class TestSequenceFolderU8:
             a, b = ds_n[idx], ds_p[idx]
             assert a["tgt"].dtype == b["tgt"].dtype == np.uint8
             for key in ("tgt", "refs"):
-                # native emits x/255 floats re-scaled here; the double
-                # rounding can move a pixel sitting exactly on a .5
-                # boundary by one count vs the Python path
+                # C++ raw-emit (0..255 floats) + the same single rint as
+                # QuantizeU8: rounding itself is identical. The residual
+                # is the scale-crop's non-integer resize, where the
+                # system OpenCV 4.6 and the Python 5.x wheel agree only
+                # to ~1e-5 relative (dataplane.cpp numerics contract) —
+                # a pixel that close to a .5 boundary can round one
+                # count apart (measured: ~1e-4 of pixels at this seed)
                 d = np.abs(a[key].astype(np.int16) - b[key].astype(np.int16))
                 assert d.max() <= 1, d.max()
-                assert (d > 0).mean() < 1e-3, (d > 0).mean()
+                assert (d > 0).mean() < 5e-4, (d > 0).mean()
 
 
 class TestTrainStepU8:
