@@ -84,6 +84,9 @@ def run_dtype(dtype: str, batch_size: int, h: int, w: int, steps: int):
         cam_photo_loss_weight=1.0, smooth_loss_weight=0.1,
         consensus_loss_weight=0.3, lr=1e-4,
         compute_dtype=dtype,
+        # A/B knob, default off: the headline stays the parity fp32 loss
+        # stack (see TrainConfig.loss_dtype for semantics)
+        loss_dtype=os.environ.get("CC_BENCH_LOSS_DTYPE", "float32"),
     )
     mods = make_models(cfg)
     state = init_state(cfg, jax.random.PRNGKey(0))

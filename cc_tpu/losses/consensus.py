@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from cc_tpu.geometry import flow_warp
-from cc_tpu.losses.charbonnier import robust_l1_per_pix
+from cc_tpu.losses.charbonnier import mean32, robust_l1_per_pix
 from cc_tpu.losses.explainability import logical_or
 from cc_tpu.losses.photometric import _pool_to, _valid_pixels
 from cc_tpu.losses.ssim import ssim
@@ -78,7 +78,7 @@ def weighted_binary_cross_entropy(output, target, weights=None):
         loss = weights[1] * (target * pos) + weights[0] * ((1 - target) * neg)
     else:
         loss = target * pos + (1 - target) * neg
-    return -jnp.mean(loss)
+    return -mean32(loss)
 
 
 def consensus_depth_flow_mask(explainability_mask, census_mask_bwd,

@@ -3,6 +3,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from cc_tpu.losses.charbonnier import mean32
+
 
 def logical_or(a, b):
     """Soft OR: 1 - (1-a)(1-b) (loss_functions.py:157-158)."""
@@ -21,7 +23,7 @@ def explainability_loss(mask):
         mask = [mask]
     loss = 0.0
     for m in mask:
-        loss = loss + jnp.mean(-_safe_log(m))
+        loss = loss + mean32(-_safe_log(m))
     return loss
 
 
@@ -32,5 +34,5 @@ def gaussian_explainability_loss(mask):
         mask = [mask]
     loss = 0.0
     for m in mask:
-        loss = loss + jnp.exp(-jnp.mean((m - 0.5) ** 2) / 0.15)
+        loss = loss + jnp.exp(-mean32((m - 0.5) ** 2) / 0.15)
     return loss

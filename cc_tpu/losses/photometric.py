@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from cc_tpu.geometry import inverse_warp, flow_warp, pose2flow
 from cc_tpu.geometry.camera import scale_intrinsics, scale_intrinsics_inv
-from cc_tpu.losses.charbonnier import robust_l1
+from cc_tpu.losses.charbonnier import mean32, robust_l1
 from cc_tpu.losses.ssim import ssim
 
 
@@ -71,9 +71,13 @@ def _oob_norm(valid: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     numel-scaled finite spike). Net effect: a fully-OOB ref contributes
     exactly 0 instead of collapsing training into an absorbing non-finite
     state (observed in the bf16 soak; PARITY.md "bf16 long-run
-    stability")."""
-    s = jnp.sum(valid)
-    return valid.size / jnp.maximum(s, 1.0), (s > 0).astype(valid.dtype)
+    stability").
+
+    The sum always accumulates in fp32: under loss_dtype=bfloat16 `valid`
+    is bf16 and integers above 256 are not exactly representable — the
+    cast-then-sum of exact {0,1} values is exact, a bf16 sum is not."""
+    s = jnp.sum(valid.astype(jnp.float32))
+    return valid.size / jnp.maximum(s, 1.0), (s > 0).astype(jnp.float32)
 
 
 def _pool_to(img: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
@@ -101,6 +105,9 @@ def photometric_reconstruction_loss(
         downscale = tgt_img.shape[1] / h
         tgt_s = _pool_to(tgt_img, h, w)
         refs_s = [_pool_to(r, h, w) for r in ref_imgs]
+        # occlusion masks come from fp32 rigid flows; cast so the
+        # elementwise chain stays in the images' dtype (loss_dtype mode)
+        occ_masks = occ_masks.astype(tgt_s.dtype)
         k_s = scale_intrinsics(intrinsics, downscale)
         k_inv_s = scale_intrinsics_inv(intrinsics_inv, downscale)
 
@@ -122,7 +129,7 @@ def photometric_reconstruction_loss(
                 ssim_loss = ssim_loss * occ_i
 
             loss = loss + any_valid * (1 - wssim) * oob_norm * (
-                robust_l1(diff, q=qch) + wssim * jnp.mean(ssim_loss)
+                robust_l1(diff, q=qch) + wssim * mean32(ssim_loss)
             ) + lambda_oob * robust_l1(1.0 - valid, q=qch)
         return loss
 
@@ -163,6 +170,8 @@ def photometric_flow_loss(tgt_img, ref_imgs, flows, explainability_mask,
         b, h, w, _ = flows_s[0].shape
         tgt_s = _pool_to(tgt_img, h, w)
         refs_s = [_pool_to(r, h, w) for r in ref_imgs]
+        if occ_masks is not None:  # fp32 (from flows); see rigid one_scale
+            occ_masks = occ_masks.astype(tgt_s.dtype)
 
         loss = 0.0
         for i, ref in enumerate(refs_s):
@@ -181,7 +190,7 @@ def photometric_flow_loss(tgt_img, ref_imgs, flows, explainability_mask,
                 ssim_loss = ssim_loss * (1.0 - occ_masks[..., i:i + 1])
 
             loss = loss + any_valid * (1 - wssim) * oob_norm * (
-                robust_l1(diff, q=qch) + wssim * jnp.mean(ssim_loss)
+                robust_l1(diff, q=qch) + wssim * mean32(ssim_loss)
             ) + lambda_oob * robust_l1(1.0 - valid, q=qch)
         return loss
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from cc_tpu.losses.charbonnier import mean32
 from cc_tpu.ops.image import adaptive_avg_pool
 
 
@@ -28,8 +29,8 @@ def smooth_loss(preds):
         dx2, dxdy = _grad_hw(dx)
         dydx, dy2 = _grad_hw(dy)
         loss = loss + weight * (
-            jnp.mean(jnp.abs(dx2)) + jnp.mean(jnp.abs(dxdy))
-            + jnp.mean(jnp.abs(dydx)) + jnp.mean(jnp.abs(dy2)))
+            mean32(jnp.abs(dx2)) + mean32(jnp.abs(dxdy))
+            + mean32(jnp.abs(dydx)) + mean32(jnp.abs(dy2)))
         weight /= 2.3
     return loss
 
@@ -54,6 +55,6 @@ def edge_aware_smoothness_loss(img, preds):
         i_dx, i_dy = _grad_hw(img_s)
         w_x = jnp.exp(-jnp.mean(jnp.abs(i_dx), axis=-1, keepdims=True))
         w_y = jnp.exp(-jnp.mean(jnp.abs(i_dy), axis=-1, keepdims=True))
-        loss = loss + jnp.mean(jnp.abs(p_dx) * w_x) + jnp.mean(
+        loss = loss + mean32(jnp.abs(p_dx) * w_x) + mean32(
             jnp.abs(p_dy) * w_y)
     return loss

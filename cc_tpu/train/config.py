@@ -72,7 +72,14 @@ class TrainConfig:
     fix_flownet: bool = False
 
     # compute
-    compute_dtype: str = "float32"        # 'float32' | 'bfloat16'
+    compute_dtype: str = "float32"        # 'float32' | 'bfloat16' (nets)
+    # Loss-stack dtype: 'bfloat16' casts the image payloads (tgt, refs)
+    # and explainability masks to bf16 at the loss boundary — the
+    # elementwise photometric/SSIM/warp-payload chain then runs at bf16
+    # VPU/MXU rates and half HBM traffic. Geometry (depth, pose, flows,
+    # intrinsics) and every large reduction stay fp32 (losses.charbonnier
+    # .mean32). Changes loss numerics (~1e-2 relative); off by default.
+    loss_dtype: str = "float32"           # 'float32' | 'bfloat16'
 
     @property
     def nb_ref_imgs(self) -> int:

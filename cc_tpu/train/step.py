@@ -101,12 +101,23 @@ def compute_losses(cfg: TrainConfig, outputs, batch):
     refs = outputs["refs"]
     K, K_inv = batch["intrinsics"], batch["intrinsics_inv"]
 
+    exp_cast = outputs["exp_masks"]
+    if cfg.loss_dtype == "bfloat16":
+        # Image payloads and masks go bf16 at the loss boundary; all
+        # coordinate-like tensors (depth, pose, flows, K) stay fp32 —
+        # grid_sample/flow_warp force fp32 coordinate math regardless
+        # (geometry/sampling.py) and gather the bf16 payload. Every
+        # scalar loss reduces in fp32 (losses.charbonnier.mean32).
+        tgt = tgt.astype(jnp.bfloat16)
+        refs = [r.astype(jnp.bfloat16) for r in refs]
+        exp_cast = [m.astype(jnp.bfloat16) for m in exp_cast]
+
     disparities = outputs["disparities"]
     if cfg.spatial_normalize:
         disparities = [spatial_normalize(d) for d in disparities]
     depth = [1.0 / d for d in disparities]
     pose = outputs["pose"]
-    exp_masks = outputs["exp_masks"]
+    exp_masks = exp_cast
     flow_fwd, flow_bwd = outputs["flow_fwd"], outputs["flow_bwd"]
 
     # freezing == requires_grad=False (see module docstring)
