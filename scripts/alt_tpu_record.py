@@ -1,0 +1,125 @@
+"""Recorded ON-TPU run of the CC alternation protocol.
+
+tests/test_cc_alternation.py proves multi-phase alternation convergence on
+CPU (pytest's conftest pins the CPU backend); this script replays the exact
+same scene + phase recipe on the default (axon TPU) platform and records
+the per-phase decisive metrics to ALTERNATION_TPU.json at the repo root —
+the "recorded TPU run" evidence for the reference's alternation protocol
+(/root/reference/train.py:331-346, README.md:59-96).
+
+Usage (repo root):  python scripts/alt_tpu_record.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tests"))
+sys.path.insert(0, REPO)
+
+import test_cc_alternation as alt  # noqa: E402  (the CPU test's recipe)
+
+
+def build_scene(root: str) -> str:
+    """The scene_dir fixture's body, at a fixed path (fixtures need pytest)."""
+    import cv2
+
+    for scene, phase in (("sa", 0), ("sb", 3)):
+        d = os.path.join(root, scene)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "cam.txt"), "w") as f:
+            f.write(f"{alt.FX},0.,{alt.W / 2.},0.,{alt.FY},{alt.H / 2.},"
+                    "0.,0.,1.")
+        for f_i in range(alt.N_FRAMES):
+            img = (alt._frame(f_i + phase) * 255.0).clip(0, 255)
+            cv2.imwrite(os.path.join(d, f"{f_i:07d}.jpg"),
+                        cv2.cvtColor(img.astype(np.uint8),
+                                     cv2.COLOR_RGB2BGR),
+                        [cv2.IMWRITE_JPEG_QUALITY, 98])
+    with open(os.path.join(root, "train.txt"), "w") as f:
+        f.write("sa\nsb\n")
+    with open(os.path.join(root, "val.txt"), "w") as f:
+        f.write("sb\n")
+    return root
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/cc_tpu_jax_cache")
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    dev = jax.devices()[0]
+    print(f"platform: {dev.platform} ({dev})")
+
+    from cc_tpu.train import build_forward_eval, init_state, make_models
+
+    import shutil
+    work = "/tmp/alt_tpu_record"
+    shutil.rmtree(work, ignore_errors=True)  # stale checkpoints would
+    # make phase A resume-from-C of a previous invocation
+    scene = build_scene(os.path.join(work, "scene"))
+    os.chdir(work)  # checkpoints/<EXP> lands here
+
+    # the raw fixture function (no pytest plumbing; takes no arguments)
+    eval_batch = alt.eval_batch.__wrapped__()
+
+    cfg = alt._eval_cfg()
+    fwd_eval = build_forward_eval(cfg, make_models(cfg))
+    state0 = init_state(cfg, jax.random.PRNGKey(0))
+    flow_pre, flow_pth = alt._pretrained_flow(state0, work)
+    state0 = state0.replace(params=dict(state0.params, flow=flow_pre))
+
+    save_path = os.path.join(work, "checkpoints", alt.EXP)
+    record = {"device": str(dev), "platform": dev.platform,
+              "scene": {"H": alt.H, "W": alt.W, "delta_px": alt.DELTA},
+              "phases": {}}
+    record["phases"]["init"] = alt._metrics(state0, fwd_eval, eval_batch)
+
+    phases = [
+        ("A_disp_pose", ["--fix-masknet", "--fix-flownet",
+                         "--pretrained-flow", flow_pth,
+                         "-pc", "1.0", "-pf", "0", "-m", "0", "-s", "0.05",
+                         "-c", "0"], 6),
+        ("B_flow", ["--fix-dispnet", "--fix-posenet", "--fix-masknet",
+                    "-pc", "0", "-pf", "1.0", "-m", "0", "-s", "0.05",
+                    "-c", "0", "--resume"], 8),
+        ("C_mask", ["--fix-dispnet", "--fix-posenet", "--fix-flownet",
+                    "-pc", "1.0", "-pf", "0.5", "-m", "0.2", "-s", "0.05",
+                    "-c", "0.3", "--resume"], 4),
+    ]
+    for name, extra, epochs in phases:
+        t0 = time.time()
+        alt._run_phase(scene, extra, epochs=epochs)
+        m = alt._metrics(alt._load_state(save_path), fwd_eval, eval_batch)
+        m["wall_s"] = round(time.time() - t0, 1)
+        record["phases"][name] = m
+        print(f"{name}: {m}")
+
+    ph = record["phases"]
+    record["decisive_improvements"] = {
+        "cam_epe_A_over_init": round(
+            ph["A_disp_pose"]["cam_epe"] / ph["init"]["cam_epe"], 4),
+        "flow_epe_B_over_A": round(
+            ph["B_flow"]["flow_epe"] / ph["A_disp_pose"]["flow_epe"], 4),
+        "mask_err_C_over_B": round(
+            ph["C_mask"]["mask_err"] / ph["B_flow"]["mask_err"], 4),
+    }
+    out = os.path.join(REPO, "ALTERNATION_TPU.json")
+    with open(out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(f"wrote {out}")
+    imp = record["decisive_improvements"]
+    ok = all(v < 0.7 for v in imp.values())
+    print(f"decisive improvements {imp} -> {'OK' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
