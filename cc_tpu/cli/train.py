@@ -243,22 +243,10 @@ def validate_flow(cfg, mods, state, val_loader, fwd_eval,
 
 
 def _host_local_tree(tree):
-    """Host-local numpy copy of a pytree that may hold multi-host global
-    jax.Arrays (multi-process launch): fully-replicated leaves (params /
-    batch_stats under the mesh's replicated out_shardings) fetch whole;
-    batch-sharded leaves fetch this process's first device shard. Lets
-    primary-only non-collective work (validation, image logging) run as a
-    purely local computation instead of a jit call on non-addressable
-    arrays — a collective the other processes never join."""
-    import jax
-
-    def fetch(x):
-        if isinstance(x, jax.Array) and not x.is_fully_addressable:
-            if x.is_fully_replicated:
-                return np.asarray(x)
-            return np.asarray(x.addressable_data(0))
-        return np.asarray(x)
-    return jax.tree_util.tree_map(fetch, tree)
+    """See parallel.distributed.host_local_tree (shared with checkpoint
+    writes, which face the same non-addressable-array constraint)."""
+    from cc_tpu.parallel.distributed import host_local_tree
+    return host_local_tree(tree)
 
 
 class _NullLogger:

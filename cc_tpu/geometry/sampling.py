@@ -20,7 +20,17 @@ pass; numerics are bit-identical to the 4-gather form).
 """
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
+
+# CC_TPU_IMG4=flat keeps the gather operand AND its output in the flat
+# [B, pixels, 4C] shape end-to-end (weights — 1/12th the bytes — are
+# flattened instead of reshaping the taps back to [B, H, W, 4, C]; the
+# output reshape then moves C instead of 4C channels). Bit-identical
+# accumulation order; default stays the measured round-2 form until the
+# full-step A/B on hardware says otherwise.
+_IMG4_FLAT = os.environ.get("CC_TPU_IMG4", "packed") == "flat"
 
 
 def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
@@ -60,16 +70,23 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
     # fetches at clamped positions only where the valid mask already zeroes
     # the weight).
     imgp = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    img4 = jnp.concatenate(
-        [imgp[:, :-1, :-1], imgp[:, :-1, 1:],
-         imgp[:, 1:, :-1], imgp[:, 1:, 1:]], axis=-1)  # [B, H+1, W+1, 4C]
+    views = (imgp[:, :-1, :-1], imgp[:, :-1, 1:],
+             imgp[:, 1:, :-1], imgp[:, 1:, 1:])  # [B, H+1, W+1, C] each
+    if _IMG4_FLAT:
+        img4 = jnp.concatenate(
+            [v.reshape(b, (h + 1) * (w + 1), c) for v in views], axis=-1)
+    else:
+        img4 = jnp.concatenate(views, axis=-1).reshape(
+            b, (h + 1) * (w + 1), 4 * c)
 
     iy = (jnp.clip(y0f, -1.0, h - 1.0) + 1.0).astype(jnp.int32)
     ix = (jnp.clip(x0f, -1.0, w - 1.0) + 1.0).astype(jnp.int32)
     flat = (iy * (w + 1) + ix).reshape(b, -1, 1)
-    taps = jnp.take_along_axis(
-        img4.reshape(b, (h + 1) * (w + 1), 4 * c), flat, axis=1)
-    taps = taps.reshape(b, grid.shape[1], grid.shape[2], 4, c)
+    taps = jnp.take_along_axis(img4, flat, axis=1)  # [B, P, 4C]
+    if _IMG4_FLAT:
+        taps = taps.reshape(b, -1, 4, c)  # minor-dim split only
+    else:
+        taps = taps.reshape(b, grid.shape[1], grid.shape[2], 4, c)
 
     weights = []
     for dy, wyy in ((0.0, wy0), (1.0, wy1)):
@@ -85,9 +102,13 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
 
     # fp32 accumulation, same order as the 4-gather form (bit-identical in
     # fp32 mode); cast back so bf16 callers keep a bf16 compute path
+    if _IMG4_FLAT:  # flatten the small side (weights), not the taps
+        weights = [wt.reshape(b, -1) for wt in weights]
     out = taps[..., 0, :] * weights[0][..., None]
     for t in range(1, 4):
         out = out + taps[..., t, :] * weights[t][..., None]
+    if _IMG4_FLAT:
+        out = out.reshape(b, grid.shape[1], grid.shape[2], c)
     return out.astype(img.dtype)
 
 

@@ -63,7 +63,12 @@ class _DotConv(nn.Conv):
         plain = (_pair(self.kernel_dilation) == (1, 1)
                  and _pair(self.input_dilation) == (1, 1)
                  and self.feature_group_count == 1
-                 and st[0] == st[1])
+                 and st[0] == st[1]
+                 # a kernel mask or a conv-primitive override would be
+                 # silently dropped by the dot lowerings
+                 and self.mask is None
+                 and self.conv_general_dilated is None
+                 and self.conv_general_dilated_cls is None)
         is_1x1 = (plain and tuple(k) == (1, 1)
                   and self.padding == ((0, 0), (0, 0)))
         is_tap = (plain and tuple(k) == (3, 3) and s == 1

@@ -104,10 +104,11 @@ def lib():
 
         try:
             l = _load(so)
-        except OSError:
-            # a stale/foreign-ABI binary (different OpenCV soname, or an
-            # old dp_aug struct layout): rebuild from source once, then
-            # honor the fallback contract
+        except (OSError, AttributeError):
+            # a stale/foreign-ABI binary (different OpenCV soname, an old
+            # dp_aug struct layout, or a foreign .so with no dp_version
+            # export at all — ctypes raises AttributeError for that):
+            # rebuild from source once, then honor the fallback contract
             try:
                 os.remove(so)
             except OSError:
@@ -117,7 +118,7 @@ def lib():
                 return None
             try:
                 l = _load(so)
-            except OSError as e2:
+            except (OSError, AttributeError) as e2:
                 print(f"cc_tpu.native: data plane unloadable "
                       f"(falling back to Python pipeline): {e2}")
                 return None

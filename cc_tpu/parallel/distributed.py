@@ -73,9 +73,33 @@ def process_batch_slice(global_batch_size: int,
     return slice(p * per, (p + 1) * per)
 
 
+def host_local_tree(tree):
+    """Host-local numpy copy of a pytree that may hold multi-host global
+    jax.Arrays: fully-replicated leaves (params / batch_stats / opt_state
+    under the mesh's replicated out_shardings) fetch whole; batch-sharded
+    leaves fetch this process's first device shard. Lets primary-only
+    non-collective work (validation, image logging, checkpoint writes) run
+    as purely local computation instead of touching non-addressable arrays
+    — a collective the other processes never join."""
+    import numpy as np
+
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if x.is_fully_replicated:
+                return np.asarray(x)
+            return np.asarray(x.addressable_data(0))
+        return np.asarray(x)
+    return jax.tree_util.tree_map(fetch, tree)
+
+
 def process_count() -> int:
     """Number of launch processes (1 on a single host)."""
     return jax.process_count()
+
+
+def process_index() -> int:
+    """This process's index in the launch (0 on a single host)."""
+    return jax.process_index()
 
 
 def is_primary() -> bool:

@@ -20,7 +20,34 @@ from cc_tpu.train.state import TrainState
 
 
 def _ckptr():
+    # process identity via the distributed helpers (== jax.process_* in a
+    # real launch; lets tests simulate a multi-process launch without
+    # confusing orbax's own jax.process_count()-based internals)
+    from cc_tpu.parallel import distributed
+    if distributed.process_count() > 1:
+        # Multi-host launch: checkpoint I/O here is primary-only (save) or
+        # per-process independent (restore from a shared FS), and it only
+        # ever touches host-local numpy trees — so orbax's collective
+        # barriers must be scoped to THIS process alone. The default
+        # StandardCheckpointer syncs across all processes ("should be
+        # called by all hosts"), which deadlocks a primary-only save: the
+        # other processes are already inside the next epoch's all-reduce.
+        me = distributed.process_index()
+        return ocp.Checkpointer(
+            ocp.StandardCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=me, active_processes={me},
+                barrier_sync_key_prefix=f"proc{me}"))
     return ocp.StandardCheckpointer()
+
+
+def _host_tree(state: TrainState):
+    """Fully host-local numpy copy of the state (device_get alone raises
+    on non-addressable global arrays in a multi-process launch)."""
+    from cc_tpu.parallel import distributed
+    if distributed.process_count() > 1:
+        return distributed.host_local_tree(state)
+    return jax.device_get(state)
 
 
 def save_checkpoint(save_dir: str, state: TrainState,
@@ -32,8 +59,9 @@ def save_checkpoint(save_dir: str, state: TrainState,
     if os.path.exists(path):
         shutil.rmtree(path)
     ckptr = _ckptr()
-    ckptr.save(path, jax.device_get(state))
-    ckptr.wait_until_finished()
+    ckptr.save(path, _host_tree(state))
+    if hasattr(ckptr, "wait_until_finished"):  # sync Checkpointer lacks it
+        ckptr.wait_until_finished()
     if is_best:
         best = os.path.join(save_dir, "best")
         if os.path.exists(best):
@@ -48,5 +76,10 @@ def load_checkpoint(path: str, target: TrainState) -> TrainState:
     path = os.path.abspath(path)
     if os.path.isdir(os.path.join(path, "checkpoint")):
         path = os.path.join(path, "checkpoint")
-    restored = _ckptr().restore(path, target=jax.device_get(target))
+    ckptr = _ckptr()
+    tgt = _host_tree(target)
+    if isinstance(ckptr, ocp.StandardCheckpointer):
+        restored = ckptr.restore(path, target=tgt)
+    else:  # process-scoped plain Checkpointer: no target= sugar
+        restored = ckptr.restore(path, args=ocp.args.StandardRestore(tgt))
     return restored

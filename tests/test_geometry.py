@@ -79,6 +79,34 @@ class TestGridSample:
         corner = np.broadcast_to(np.asarray(img)[0, -1, -1], out.shape)
         np.testing.assert_allclose(out, corner, atol=1e-6)
 
+    @pytest.mark.parametrize("padding", ["zeros", "border"])
+    def test_img4_flat_mode_bit_identical(self, padding, monkeypatch):
+        """CC_TPU_IMG4=flat (gather operand/output kept flat, weights
+        flattened instead of taps) must be bit-identical to the default
+        packed form — same taps, same fp32 accumulation order."""
+        import jax
+
+        from cc_tpu.geometry import sampling
+
+        r = rng(11)
+        img = jnp.asarray(r.rand(2, 9, 13, 3).astype(np.float32))
+        grid = jnp.asarray(
+            r.uniform(-1.3, 1.3, (2, 7, 10, 2)).astype(np.float32))
+
+        def run():
+            out = np.asarray(grid_sample(img, grid, padding_mode=padding))
+            g = np.asarray(jax.grad(
+                lambda i: grid_sample(i, grid, padding_mode=padding).sum()
+            )(img))
+            return out, g
+
+        monkeypatch.setattr(sampling, "_IMG4_FLAT", False)
+        out_p, g_p = run()
+        monkeypatch.setattr(sampling, "_IMG4_FLAT", True)
+        out_f, g_f = run()
+        np.testing.assert_array_equal(out_f, out_p)
+        np.testing.assert_array_equal(g_f, g_p)
+
     @pytest.mark.skipif(not reference_available(), reason="no reference")
     @pytest.mark.parametrize("padding", ["zeros", "border"])
     def test_parity_grid_sample(self, padding):

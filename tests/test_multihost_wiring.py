@@ -114,6 +114,47 @@ def test_train_cli_nonprimary_process(tmp_path, monkeypatch):
     assert not (tmp_path / "experiment_recorder.md").exists()
 
 
+def test_primary_checkpoint_save_is_process_scoped(tmp_path, monkeypatch):
+    """In a multi-process launch the primary's save_checkpoint must NOT use
+    orbax's default all-process collective (StandardCheckpointer.save
+    barriers across every host — the other processes are already inside
+    the next epoch's all-reduce: distributed deadlock). It must save a
+    host-local copy through a checkpointer whose barriers are scoped to
+    this process alone, and --resume must restore it identically."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    from cc_tpu.parallel import distributed
+    from cc_tpu.train import checkpoint as ckpt_mod
+    from cc_tpu.train.state import TrainState
+
+    # simulate the launch via the distributed helpers (== jax.process_* in
+    # a real launch); patching jax.process_count itself would trip orbax's
+    # own internals, which demand a distributed KV client when >1
+    monkeypatch.setattr(distributed, "process_count", lambda: 2)
+    monkeypatch.setattr(distributed, "process_index", lambda: 0)
+
+    ck = ckpt_mod._ckptr()
+    assert not isinstance(ck, ocp.StandardCheckpointer), \
+        "multi-process save must not use the all-process collective"
+    assert isinstance(ck, ocp.Checkpointer)
+
+    state = TrainState(
+        params={"disp": {"w": np.arange(6, dtype=np.float32)}},
+        batch_stats={}, opt_state={"m": np.zeros(6, np.float32)},
+        step=np.asarray(3))
+    path = ckpt_mod.save_checkpoint(str(tmp_path / "exp"), state,
+                                    is_best=True)
+    assert os.path.isdir(path)
+    assert os.path.isdir(str(tmp_path / "exp" / "best"))
+
+    zero = jax.tree_util.tree_map(np.zeros_like, state)
+    restored = ckpt_mod.load_checkpoint(str(tmp_path / "exp"), zero)
+    np.testing.assert_array_equal(restored.params["disp"]["w"],
+                                  state.params["disp"]["w"])
+    assert int(restored.step) == 3
+
+
 def test_train_cli_singlehost_wiring_unchanged(tmp_path, monkeypatch):
     """On a single host the wiring must be a no-op: initialize() returns
     False, the full batch is loaded, and all write surfaces stay active
