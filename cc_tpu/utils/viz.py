@@ -20,10 +20,22 @@ def _opencv_rainbow_cmap(n: int = 1000) -> np.ndarray:
                     axis=1)
 
 
-def _matplotlib_cmap(name: str, n: int = 1000) -> np.ndarray:
+def _matplotlib_cmap(name: str, n: int) -> np.ndarray:
+    """[n, 3] LUT matching the reference's COLORMAPS table (utils.py:32-34):
+    'bone' is the segment colormap resampled at n=10000; 'magma' goes
+    through high_res_colormap (utils.py:8-16): the 256-entry listed LUT
+    linearly re-interpolated to 1000 samples."""
     import matplotlib
-    cmap = matplotlib.colormaps[name]
-    return cmap(np.linspace(0, 1, n))[:, :3]
+    base = matplotlib.colormaps[name]
+    if name == "magma":
+        x = np.linspace(0, 1, base.N)
+        low = base(x)
+        new_x = np.linspace(0, 1, n)
+        return np.stack([np.interp(new_x, x, low[:, i]) for i in range(3)],
+                        axis=1)
+    res = base.resampled(n)
+    centers = (np.arange(n) + 0.5) / n  # exact bin k under trunc(x*n)
+    return res(centers)[:, :3]
 
 
 _CMAPS: dict = {}
@@ -33,22 +45,30 @@ def _get_cmap(name: str) -> np.ndarray:
     if name not in _CMAPS:
         if name == "rainbow":
             _CMAPS[name] = _opencv_rainbow_cmap()
-        else:
-            _CMAPS[name] = _matplotlib_cmap(name)
+        else:  # reference LUT sizes: bone 10000, magma 1000 (utils.py:32-34)
+            _CMAPS[name] = _matplotlib_cmap(name,
+                                            10000 if name == "bone" else 1000)
     return _CMAPS[name]
 
 
 def scalar_to_rgb(array: np.ndarray, max_value=None,
                   colormap: str = "rainbow") -> np.ndarray:
     """HW scalar map -> HW3 float RGB via a colormap (tensor2array parity
-    for 1-channel inputs; returns HWC rather than CHW)."""
+    for 1-channel inputs; returns HWC rather than CHW).
+
+    Indexing reproduces matplotlib Colormap.__call__ exactly (the
+    reference applies its LUTs through it, utils.py:43): idx = trunc(x*N)
+    in fp32, x*N == N lands in bin N-1, out-of-range maps to the
+    first/last LUT row (the default under/over colors)."""
     array = np.asarray(array, np.float32)
     array = np.squeeze(array)
     if max_value is None:
         max_value = float(array.max()) or 1.0
     cmap = _get_cmap(colormap)
-    idx = np.clip((array / max_value) * (len(cmap) - 1), 0,
-                  len(cmap) - 1).astype(np.int32)
+    n = len(cmap)
+    xa = (array / max_value) * np.float32(n)
+    xa = np.where(xa == n, n - 1, xa)
+    idx = np.clip(xa.astype(np.int32), 0, n - 1)
     return cmap[idx].astype(np.float32)
 
 

@@ -79,6 +79,14 @@ class RefPath(str):
     def stripext(self):
         return RefPath(os.path.splitext(str(self))[0])
 
+    @property
+    def namebase(self):
+        return RefPath(os.path.splitext(os.path.basename(str(self)))[0])
+
+    @property
+    def ext(self):
+        return os.path.splitext(str(self))[1]
+
 
 def _bytescale(data):
     """old scipy.misc.bytescale: min-max to [0,255], round half up."""
@@ -115,6 +123,20 @@ def _imrotate(*a, **k):
     raise NotImplementedError(
         "scipy.misc.imrotate shim: only reachable from the train-time "
         "RandomRotate transform, which the eval oracles never use")
+
+
+def _imsave(path, arr):
+    """old scipy.misc.imsave via toimage: channel-first (3, H, W) arrays
+    (run_inference.py writes 255*tensor2array outputs, which are CHW)
+    are transposed to HWC; uint8 data is written as-is."""
+    from PIL import Image
+    arr = np.asarray(arr)
+    if arr.ndim == 3 and arr.shape[0] in (3, 4) and arr.shape[-1] not in (
+            3, 4):
+        arr = arr.transpose(1, 2, 0)
+    if arr.dtype != np.uint8:
+        arr = _bytescale(arr)
+    Image.fromarray(arr).save(str(path))
 
 
 class _PngReader:
@@ -175,6 +197,7 @@ def install_shims():
 
     tv = types.ModuleType("torchvision")
     tv.transforms = types.ModuleType("torchvision.transforms")
+    tv.datasets = types.ModuleType("torchvision.datasets")
 
     class _Unused:
         def __init__(self, *a, **k):
@@ -183,10 +206,136 @@ def install_shims():
         def __call__(self, *a, **k):
             raise NotImplementedError("torchvision shim is import-only")
 
+    # --- functional transforms, numerics-faithful to torchvision's PIL
+    # path (mnist_eval.py:76-82 builds real pipelines from these)
+    class _Compose:
+        def __init__(self, ts):
+            self.ts = ts
+
+        def __call__(self, x):
+            for t in self.ts:
+                x = t(x)
+            return x
+
+    class _ToTensor:
+        def __call__(self, pic):
+            import torch
+            arr = np.asarray(pic, np.uint8)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            chw = arr.transpose(2, 0, 1).astype(np.float32) / 255.0
+            return torch.from_numpy(chw)
+
+    class _Normalize:
+        def __init__(self, mean, std):
+            self.mean = np.asarray(mean, np.float32)
+            self.std = np.asarray(std, np.float32)
+
+        def __call__(self, t):
+            import torch
+            return (t - torch.from_numpy(self.mean)[:, None, None]) \
+                / torch.from_numpy(self.std)[:, None, None]
+
+    class _Resize:
+        def __init__(self, size):
+            self.size = size  # (h, w)
+
+        def __call__(self, img):
+            from PIL import Image
+            h, w = (self.size if isinstance(self.size, (tuple, list))
+                    else (self.size, self.size))
+            return img.resize((w, h), Image.BILINEAR)
+
+    class _Grayscale:
+        def __init__(self, num_output_channels=1):
+            assert num_output_channels == 1
+
+        def __call__(self, img):
+            return img.convert("L")
+
     tv.transforms.ToPILImage = _Unused
-    tv.transforms.ToTensor = _Unused
+    tv.transforms.ToTensor = _ToTensor
+    tv.transforms.Compose = _Compose
+    tv.transforms.Normalize = _Normalize
+    tv.transforms.Resize = _Resize
+    tv.transforms.Grayscale = _Grayscale
+
+    # --- datasets, matching torchvision's on-disk layouts and __getitem__
+    # contracts (PIL image + int target); download flags are ignored —
+    # the fixtures fabricate the files
+    class _MNIST:
+        def __init__(self, root, train=True, transform=None,
+                     target_transform=None, download=False):
+            import gzip
+            import struct
+
+            def _open(p):
+                return (gzip.open(p + ".gz", "rb")
+                        if os.path.exists(p + ".gz") else open(p, "rb"))
+
+            def _find(name):
+                for sub in ("", "MNIST/raw", "raw"):
+                    p = os.path.join(str(root), sub, name)
+                    if os.path.exists(p) or os.path.exists(p + ".gz"):
+                        return p
+                raise FileNotFoundError(f"{name} not under {root}")
+
+            prefix = "train" if train else "t10k"
+            with _open(_find(f"{prefix}-images-idx3-ubyte")) as f:
+                magic, n, rows, cols = struct.unpack(">IIII", f.read(16))
+                assert magic == 2051
+                self.data = np.frombuffer(f.read(), np.uint8).reshape(
+                    n, rows, cols)
+            with _open(_find(f"{prefix}-labels-idx1-ubyte")) as f:
+                magic, n = struct.unpack(">II", f.read(8))
+                assert magic == 2049
+                self.targets = np.frombuffer(f.read(), np.uint8)
+            self.transform = transform
+            self.target_transform = target_transform
+
+        def __len__(self):
+            return len(self.data)
+
+        def __getitem__(self, i):
+            from PIL import Image
+            img = Image.fromarray(self.data[i], mode="L")
+            if self.transform is not None:
+                img = self.transform(img)
+            target = int(self.targets[i])
+            if self.target_transform is not None:
+                target = self.target_transform(target)
+            return img, target
+
+    class _SVHN:
+        def __init__(self, root, split="train", transform=None,
+                     target_transform=None, download=False):
+            from scipy.io import loadmat
+            mat = loadmat(os.path.join(str(root), f"{split}_32x32.mat"))
+            # torchvision layout: [N, 3, 32, 32]; __getitem__ -> HWC PIL
+            self.data = np.transpose(mat["X"], (3, 2, 0, 1))
+            self.labels = mat["y"].astype(np.int64).squeeze()
+            np.place(self.labels, self.labels == 10, 0)
+            self.transform = transform
+            self.target_transform = target_transform
+
+        def __len__(self):
+            return len(self.data)
+
+        def __getitem__(self, i):
+            from PIL import Image
+            img = Image.fromarray(np.transpose(self.data[i], (1, 2, 0)))
+            if self.transform is not None:
+                img = self.transform(img)
+            target = int(self.labels[i])
+            if self.target_transform is not None:
+                target = self.target_transform(target)
+            return img, target
+
+    tv.datasets.MNIST = _MNIST
+    tv.datasets.SVHN = _SVHN
     sys.modules.setdefault("torchvision", tv)
     sys.modules.setdefault("torchvision.transforms", tv.transforms)
+    sys.modules.setdefault("torchvision.datasets", tv.datasets)
 
     class _AnyAttrModule(types.ModuleType):
         def __getattr__(self, name):
@@ -201,6 +350,7 @@ def install_shims():
     scipy_misc.imread = _imread
     scipy_misc.imresize = _imresize
     scipy_misc.imrotate = _imrotate
+    scipy_misc.imsave = _imsave
 
     import torch
     torch.Tensor.cuda = lambda self, *a, **k: self
