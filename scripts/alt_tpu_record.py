@@ -55,8 +55,17 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Matmul precision for the recorded run. The CPU convergence test runs
+    # under conftest's 'highest' (exact fp32); on TPU the default is
+    # single-pass bf16 MXU, and a first recorded attempt at that precision
+    # DIVERGED in phase A (loss 2.77 -> 4.89, abs_rel -> 370) — the tiny
+    # 64x256 probe scene's photometric gradients sit below bf16 operand
+    # rounding. 'high' (3-pass bf16, ~fp32-equivalent mantissa) is the
+    # cheapest precision that trains; see ALTERNATION_TPU.json.
+    precision = os.environ.get("CC_ALT_PRECISION", "high")
+    jax.config.update("jax_default_matmul_precision", precision)
     dev = jax.devices()[0]
-    print(f"platform: {dev.platform} ({dev})")
+    print(f"platform: {dev.platform} ({dev}), matmul precision {precision}")
 
     from cc_tpu.train import build_forward_eval, init_state, make_models
 
@@ -78,10 +87,12 @@ def main():
 
     save_path = os.path.join(work, "checkpoints", alt.EXP)
     record = {"device": str(dev), "platform": dev.platform,
+              "matmul_precision": precision,
               "scene": {"H": alt.H, "W": alt.W, "delta_px": alt.DELTA},
               "phases": {}}
     record["phases"]["init"] = alt._metrics(state0, fwd_eval, eval_batch)
 
+    only = os.environ.get("CC_ALT_PHASES")  # e.g. "A" for a quick probe
     phases = [
         ("A_disp_pose", ["--fix-masknet", "--fix-flownet",
                          "--pretrained-flow", flow_pth,
@@ -95,6 +106,8 @@ def main():
                     "-c", "0.3", "--resume"], 4),
     ]
     for name, extra, epochs in phases:
+        if only and name[0] not in only:
+            continue
         t0 = time.time()
         alt._run_phase(scene, extra, epochs=epochs)
         m = alt._metrics(alt._load_state(save_path), fwd_eval, eval_batch)
@@ -103,6 +116,9 @@ def main():
         print(f"{name}: {m}")
 
     ph = record["phases"]
+    if only:  # probe mode: report what ran, skip the full-protocol ratios
+        print(json.dumps(record, indent=1))
+        return 0
     record["decisive_improvements"] = {
         "cam_epe_A_over_init": round(
             ph["A_disp_pose"]["cam_epe"] / ph["init"]["cam_epe"], 4),
