@@ -71,6 +71,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "masks at the loss boundary (geometry and all "
                         "reductions stay fp32). Changes loss numerics "
                         "~1e-2 relative")
+    p.add_argument("--matmul-precision",
+                   choices=["default", "high", "highest"],
+                   default="default", dest="matmul_precision",
+                   help="TPU MXU precision for fp32 matmuls/convs. "
+                        "'default' = single-pass bf16 operands (fastest, "
+                        "the benched config); 'high' = 3-pass bf16 "
+                        "(~fp32-equivalent mantissa, ~2x conv cost). The "
+                        "reference trains in full fp32 CUDA; on small/"
+                        "low-texture scenes the CC photometric gradients "
+                        "can sit below bf16 operand rounding — the "
+                        "recorded TPU alternation run needed 'high' "
+                        "(ALTERNATION_TPU.json; 'default' diverged in "
+                        "phase A)")
     p.add_argument("--print-freq", type=int, default=10)
     p.add_argument("--smoothness-type", choices=["edgeaware", "regular"],
                    default="regular")
@@ -281,6 +294,11 @@ def main(argv=None):
     distributed.initialize()
     primary = distributed.is_primary()
     pcount = distributed.process_count()
+    if pcount > 1:
+        # create the cross-process communicator clique while the processes
+        # are aligned (see warmup_collectives: communicator creation is the
+        # one rendezvous with a short hard deadline)
+        distributed.warmup_collectives()
     # each process loads only its own rows of the global batch
     batch_slice = (distributed.process_batch_slice(args.batch_size)
                    if pcount > 1 else None)
@@ -290,6 +308,9 @@ def main(argv=None):
             f.write("\npython3 " + " ".join(sys.argv))
 
     import jax
+    if args.matmul_precision != "default":
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
     import jax.numpy as jnp
     from cc_tpu.data import (DataLoader, SequenceFolder, ValidationSet,
                              device_prefetch, transforms)

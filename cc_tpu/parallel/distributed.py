@@ -46,12 +46,51 @@ def initialize(coordinator_address: str | None = None,
     kwargs = {}
     if coordinator_address:
         kwargs["coordinator_address"] = coordinator_address
+    # jax.distributed.initialize reads JAX_COORDINATOR_ADDRESS itself but
+    # has NO env path for num_processes / process_id (it only auto-detects
+    # them from cluster launchers: Slurm/OpenMPI/TPU pod metadata) — so a
+    # plain env-var launch (JAX_NUM_PROCESSES/JAX_PROCESS_ID, e.g. the
+    # 2-process CPU integration test) must forward them explicitly here.
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     if num_processes is not None:
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
     jax.distributed.initialize(**kwargs)
     return True
+
+
+def warmup_collectives(timeout_ms: int = 1_800_000) -> None:
+    """Align all processes, then run one tiny all-reduce over the global
+    device set so the cross-process communicator clique is created while
+    the processes are in lockstep.
+
+    Why: communicator creation is the one rendezvous with a short hard
+    deadline — the CPU backend's gloo TCP-store exchange times out at 30s
+    (not configurable from jax), and process skew routinely exceeds that
+    when tracing/compilation serializes (shared-core hosts) or differs
+    across hosts. The clique is cached by the backend, so the training
+    step's gradient all-reduce reuses it; once the context exists,
+    collectives tolerate skew (a peer blocked in compilation just delays
+    the op). The alignment barrier runs on the coordination service
+    (pure gRPC, explicit generous timeout). On real pods this is the
+    usual warmup no-op-with-benefits."""
+    from jax._src import distributed as jdist
+    client = jdist.global_state.client
+    if client is not None:
+        client.wait_at_barrier("cc_warmup_collectives", timeout_ms)
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.asarray(jax.devices())
+    mesh = Mesh(devs, ("d",))
+    x = jax.device_put(np.ones(len(devs), np.float32),
+                       NamedSharding(mesh, P("d")))
+    jnp.sum(x).block_until_ready()
 
 
 def process_batch_slice(global_batch_size: int,
