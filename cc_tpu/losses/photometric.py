@@ -10,7 +10,14 @@ fuses the per-scale graphs).
 """
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
+
+# CC_TPU_SCAN_REFS=1 runs the rigid loss's per-ref loop as a lax.scan:
+# ~4x smaller per-scale program (compile-time lever), measured tradeoff in
+# PARITY.md. Default off: the unrolled form is the benched configuration.
+_SCAN_REFS = os.environ.get("CC_TPU_SCAN_REFS", "0") == "1"
 
 from cc_tpu.geometry import inverse_warp, flow_warp, pose2flow
 from cc_tpu.geometry.camera import scale_intrinsics, scale_intrinsics_inv
@@ -111,26 +118,63 @@ def photometric_reconstruction_loss(
         k_s = scale_intrinsics(intrinsics, downscale)
         k_inv_s = scale_intrinsics_inv(intrinsics_inv, downscale)
 
-        loss = 0.0
-        for i, ref in enumerate(refs_s):
-            warped = inverse_warp(ref, d[..., 0], pose[:, i], k_s, k_inv_s,
+        def per_ref(ref, pose_i, occ_i, exp_i):
+            """One ref's photometric term (the reference's inner loop body,
+            loss_functions.py:95-124)."""
+            warped = inverse_warp(ref, d[..., 0], pose_i, k_s, k_inv_s,
                                   rotation_mode, padding_mode)
             valid = _valid_pixels(warped)
             diff = (tgt_s - warped) * valid
             ssim_loss = 1.0 - ssim(tgt_s, warped) * valid
             oob_norm, any_valid = _oob_norm(valid)
 
-            occ_i = 1.0 - occ_masks[..., i:i + 1]
-            if exp_mask is not None:
-                diff = diff * occ_i * exp_mask[..., i:i + 1]
-                ssim_loss = ssim_loss * occ_i * exp_mask[..., i:i + 1]
+            occ_w = 1.0 - occ_i
+            if exp_i is not None:
+                diff = diff * occ_w * exp_i
+                ssim_loss = ssim_loss * occ_w * exp_i
             else:
-                diff = diff * occ_i
-                ssim_loss = ssim_loss * occ_i
+                diff = diff * occ_w
+                ssim_loss = ssim_loss * occ_w
 
-            loss = loss + any_valid * (1 - wssim) * oob_norm * (
-                robust_l1(diff, q=qch) + wssim * mean32(ssim_loss)
-            ) + lambda_oob * robust_l1(1.0 - valid, q=qch)
+            # lambda_oob defaults to 0 (reference train.py flag default);
+            # skip its whole subgraph in Python — XLA cannot fold 0.0*x
+            # under float NaN semantics, so the reference's always-on term
+            # would still burn a full-tensor reduction per ref per scale
+            term = any_valid * (1 - wssim) * oob_norm * (
+                robust_l1(diff, q=qch) + wssim * mean32(ssim_loss))
+            if lambda_oob:
+                term = term + lambda_oob * robust_l1(1.0 - valid, q=qch)
+            return term
+
+        if _SCAN_REFS:
+            # CC_TPU_SCAN_REFS=1: run the ref loop as ONE lax.scan so the
+            # per-ref subgraph is traced/compiled once instead of nref
+            # times (program-size / compile-time experiment, VERDICT r3
+            # #7). Identical math; see PARITY.md for the measured
+            # compile/runtime tradeoff.
+            import jax
+
+            n = len(refs_s)
+            xs = (jnp.stack(refs_s, 0), jnp.moveaxis(pose, 1, 0),
+                  jnp.moveaxis(occ_masks, -1, 0)[..., None],
+                  None if exp_mask is None
+                  else jnp.moveaxis(exp_mask, -1, 0)[..., None])
+
+            def body(acc, x):
+                ref, pose_i, occ_i, exp_i = (x if exp_mask is not None
+                                             else (*x, None))
+                return acc + per_ref(ref, pose_i, occ_i, exp_i), None
+
+            loss, _ = jax.lax.scan(
+                body, jnp.zeros((), jnp.float32),
+                xs if exp_mask is not None else xs[:3])
+            return loss
+
+        loss = 0.0
+        for i in range(len(refs_s)):
+            exp_i = exp_mask[..., i:i + 1] if exp_mask is not None else None
+            loss = loss + per_ref(refs_s[i], pose[:, i],
+                                  occ_masks[..., i:i + 1], exp_i)
         return loss
 
     total = 0.0
@@ -189,9 +233,11 @@ def photometric_flow_loss(tgt_img, ref_imgs, flows, explainability_mask,
                 diff = diff * (1.0 - occ_masks[..., i:i + 1])
                 ssim_loss = ssim_loss * (1.0 - occ_masks[..., i:i + 1])
 
+            # zero-weight lambda_oob skipped in Python (see the rigid loss)
             loss = loss + any_valid * (1 - wssim) * oob_norm * (
-                robust_l1(diff, q=qch) + wssim * mean32(ssim_loss)
-            ) + lambda_oob * robust_l1(1.0 - valid, q=qch)
+                robust_l1(diff, q=qch) + wssim * mean32(ssim_loss))
+            if lambda_oob:
+                loss = loss + lambda_oob * robust_l1(1.0 - valid, q=qch)
         return loss
 
     total = 0.0

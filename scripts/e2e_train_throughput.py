@@ -1,0 +1,126 @@
+"""END-TO-END host-included training throughput of the real `cc-train` CLI.
+
+VERDICT r3 missing #3: PARITY.md's host-included table had a "measured
+upload ceiling" extrapolation for `--h2d uint8`; this records the actual
+steady-state im/s of the CLI feeding the device from disk (decode ->
+augment -> collate -> H2D -> jitted step), the reference-equivalent hot
+loop (/root/reference/train.py:228-233, 445-451).
+
+Method: fabricate a KITTI-format 832x256 JPEG tree (6 scenes x 48 frames =
+288 images; sequence_length 5 -> 264 samples -> 66 steps/epoch at b4), run
+the CLI as a subprocess with the canonical paper flags for 2 epochs, and
+take the LAST im/s meter print of each epoch >= 1 (the meter is the
+cumulative within-epoch average, train.py cli). Epoch 0 is discarded
+(contains the jit compile).
+
+Usage: python scripts/e2e_train_throughput.py [--h2d uint8] [--loader python]
+       [--epochs 2] [--out /tmp/e2e.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def make_tree(root: str, scenes: int = 6, frames: int = 48,
+              hw=(256, 832)) -> None:
+    import cv2
+    import numpy as np
+    r = np.random.RandomState(0)
+    os.makedirs(root, exist_ok=True)
+    names = []
+    for s in range(scenes):
+        d = os.path.join(root, f"scene_{s:02d}")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "cam.txt"), "w") as f:
+            f.write("499.2,0.,416.,0.,307.2,128.,0.,0.,1.")
+        base = cv2.GaussianBlur(
+            (r.rand(hw[0], hw[1], 3) * 255).astype(np.uint8), (21, 21), 8)
+        for i in range(frames):
+            img = np.roll(base, i * 7, axis=1)
+            cv2.imwrite(os.path.join(d, f"{i:07d}.jpg"), img)
+        names.append(os.path.basename(d))
+    with open(os.path.join(root, "train.txt"), "w") as f:
+        f.write("\n".join(names[:-1]))
+    with open(os.path.join(root, "val.txt"), "w") as f:
+        f.write(names[-1])
+
+
+RATE = re.compile(r"\(([\d.]+) im/s\)")
+EPOCH = re.compile(r"Train \[(\d+)\]")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--h2d", default="uint8", choices=["float32", "uint8"])
+    ap.add_argument("--loader", default="python",
+                    choices=["python", "native", "auto"])
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--epoch-size", type=int, default=55)
+    ap.add_argument("--data", default="/tmp/cc_e2e_scenes")
+    ap.add_argument("--workdir", default="/tmp/cc_e2e_run")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    if not os.path.isdir(os.path.join(args.data, "scene_00")):
+        print("# fabricating 832x256 tree ...", flush=True)
+        make_tree(args.data)
+
+    os.makedirs(args.workdir, exist_ok=True)
+    cmd = [
+        sys.executable, "-m", "cc_tpu.cli.train", args.data,
+        "--name", f"e2e_{args.h2d}_{args.loader}",
+        "--epochs", str(args.epochs), "--epoch-size", str(args.epoch_size),
+        "-b", "4", "--height", "256", "--width", "832",
+        "--sequence-length", "5", "--print-freq", "5",
+        # canonical paper/bench operating point (BASELINE.md)
+        "--smoothness-type", "edgeaware", "-wssim", "0.997",
+        "-m", "0.1", "-pf", "0.5", "-pc", "1.0", "-s", "0.1", "-c", "0.3",
+        "--loader", args.loader, "--h2d", args.h2d,
+    ]
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/cc_tpu_jax_cache")
+    # subprocess runs with cwd=workdir: put the repo on the path WITHOUT
+    # clobbering the existing entries (the axon TPU plugin rides on them)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    print("#", " ".join(cmd), flush=True)
+    proc = subprocess.run(cmd, cwd=args.workdir, env=env,
+                          capture_output=True, text=True, timeout=3600)
+    txt = proc.stdout + proc.stderr
+    if proc.returncode != 0:
+        print(txt[-4000:])
+        raise SystemExit(f"cc-train failed rc={proc.returncode}")
+
+    # last cumulative-average im/s print per epoch
+    per_epoch: dict[int, float] = {}
+    for line in txt.splitlines():
+        m = RATE.search(line)
+        e = EPOCH.search(line)
+        if m and e:
+            per_epoch[int(e.group(1))] = float(m.group(1))
+    steady = [v for k, v in sorted(per_epoch.items()) if k >= 1]
+    result = {
+        "metric": "cc_train_e2e_im_per_s_832x256_b4",
+        "h2d": args.h2d, "loader": args.loader,
+        "per_epoch_last_rate": per_epoch,
+        "steady_state_im_per_s": steady[-1] if steady else None,
+        "epoch_size_steps": args.epoch_size,
+        "note": "epoch 0 contains the jit compile; meter is the CLI's own "
+                "cumulative within-epoch average (host decode+augment+H2D "
+                "included)",
+    }
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

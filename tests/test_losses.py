@@ -237,3 +237,34 @@ class TestLossParity:
             to_torch_nchw(mask))
         np.testing.assert_allclose(ours, [float(t) for t in theirs], rtol=1e-3,
                                    atol=1e-5)
+
+
+class TestScanRefsEquivalence:
+    """CC_TPU_SCAN_REFS=1 (losses/photometric.py): the lax.scan form of the
+    rigid loss's per-ref loop must match the unrolled form — values AND
+    gradients (it exists purely as a program-size/compile-time knob)."""
+
+    def test_scan_matches_unrolled_with_and_without_exp(self):
+        import jax
+        import cc_tpu.losses.photometric as P
+        tgt, refs, K, K_inv, pose, depths, exp_masks, _, _ = make_scene(21)
+        args = (jnp.asarray(tgt), [jnp.asarray(r) for r in refs],
+                jnp.asarray(K), jnp.asarray(K_inv))
+        saved = P._SCAN_REFS
+        try:
+            for masks in ([jnp.asarray(m) for m in exp_masks],
+                          [None] * len(depths)):
+                def f(d0):
+                    ds = [d0] + [jnp.asarray(d) for d in depths[1:]]
+                    return photometric_reconstruction_loss(
+                        args[0], args[1], args[2], args[3], ds, masks,
+                        jnp.asarray(pose), wssim=0.3, lambda_oob=0.1)
+                P._SCAN_REFS = False
+                v0, g0 = jax.value_and_grad(f)(jnp.asarray(depths[0]))
+                P._SCAN_REFS = True
+                v1, g1 = jax.value_and_grad(f)(jnp.asarray(depths[0]))
+                np.testing.assert_allclose(float(v0), float(v1), rtol=1e-5)
+                np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                                           rtol=1e-4, atol=1e-7)
+        finally:
+            P._SCAN_REFS = saved
