@@ -49,7 +49,13 @@ def run_traced(steps: int, dtype: str, h: int, w: int, b: int):
                       smoothness_type="edgeaware", mask_loss_weight=0.1,
                       flow_photo_loss_weight=0.5, cam_photo_loss_weight=1.0,
                       smooth_loss_weight=0.1, consensus_loss_weight=0.3,
-                      lr=1e-4, compute_dtype=dtype)
+                      lr=1e-4, compute_dtype=dtype,
+                      # same env knobs as bench.py: lets the tracer attribute
+                      # the guarded-recipe overhead per-op
+                      clip_grad_norm=float(
+                          os.environ.get("CC_BENCH_CLIP_GRAD", "0")),
+                      skip_nonfinite_updates=bool(int(
+                          os.environ.get("CC_BENCH_SKIP_NONFINITE", "0"))))
     mods = make_models(cfg)
     state = init_state(cfg, jax.random.PRNGKey(0))
     step = build_train_step(cfg, mods, donate=True)
