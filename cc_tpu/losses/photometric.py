@@ -154,7 +154,6 @@ def photometric_reconstruction_loss(
             # compile/runtime tradeoff.
             import jax
 
-            n = len(refs_s)
             xs = (jnp.stack(refs_s, 0), jnp.moveaxis(pose, 1, 0),
                   jnp.moveaxis(occ_masks, -1, 0)[..., None],
                   None if exp_mask is None

@@ -7,7 +7,8 @@ augment -> collate -> H2D -> jitted step), the reference-equivalent hot
 loop (/root/reference/train.py:228-233, 445-451).
 
 Method: fabricate a KITTI-format 832x256 JPEG tree (6 scenes x 48 frames =
-288 images; sequence_length 5 -> 264 samples -> 66 steps/epoch at b4), run
+288 images; the last scene goes to val.txt, so train = 5 scenes x 44
+samples at sequence_length 5 = 220 samples -> 55 steps/epoch at b4), run
 the CLI as a subprocess with the canonical paper flags for 2 epochs, and
 take the LAST im/s meter print of each epoch >= 1 (the meter is the
 cumulative within-epoch average, train.py cli). Epoch 0 is discarded
