@@ -47,7 +47,9 @@ class _DotConv(nn.Conv):
     Parameter names/shapes are exactly nn.Conv's ('kernel' [kh,kw,ci,co],
     'bias' [co]) so checkpoints and torch import/export are unaffected."""
 
-    TAP_MAX_C = 64
+    # In-step-measured channel cap for the 3x3 tap lowering (fp32 r3:
+    # 64 wins, 256 regresses). CC_TPU_TAP_CAP overrides for A/B runs only.
+    TAP_MAX_C = int(os.environ.get("CC_TPU_TAP_CAP", "64"))
 
     @nn.compact
     def __call__(self, x):
