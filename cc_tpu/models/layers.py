@@ -47,9 +47,14 @@ class _DotConv(nn.Conv):
     Parameter names/shapes are exactly nn.Conv's ('kernel' [kh,kw,ci,co],
     'bias' [co]) so checkpoints and torch import/export are unaffected."""
 
-    # In-step-measured channel cap for the 3x3 tap lowering (fp32 r3:
-    # 64 wins, 256 regresses). CC_TPU_TAP_CAP overrides for A/B runs only.
-    TAP_MAX_C = int(os.environ.get("CC_TPU_TAP_CAP", "64"))
+    # In-step-measured channel caps for the 3x3 tap lowering, per compute
+    # dtype (the lowering itself is dtype-agnostic; only the crossover vs
+    # XLA's conv path moves): fp32 r3 — 64 wins, 256 regresses, 128 measured
+    # neutral-minus r5 (22.71 vs 22.77 f/s); bf16 r5 — 128 wins +1.0%
+    # (26.02/26.08 vs 25.82 f/s, reproduced). CC_TPU_TAP_CAP overrides both
+    # for A/B runs only.
+    TAP_MAX_C = 64
+    TAP_MAX_C_BF16 = 128
 
     @nn.compact
     def __call__(self, x):
@@ -73,10 +78,14 @@ class _DotConv(nn.Conv):
                  and self.conv_general_dilated_cls is None)
         is_1x1 = (plain and tuple(k) == (1, 1)
                   and self.padding == ((0, 0), (0, 0)))
+        env_cap = os.environ.get("CC_TPU_TAP_CAP")
+        cap = (int(env_cap) if env_cap
+               else self.TAP_MAX_C_BF16 if x.dtype == jnp.bfloat16
+               else self.TAP_MAX_C)
         is_tap = (plain and tuple(k) == (3, 3) and s == 1
                   and self.padding == ((1, 1), (1, 1))
-                  and x.shape[-1] <= self.TAP_MAX_C
-                  and self.features <= self.TAP_MAX_C)
+                  and x.shape[-1] <= cap
+                  and self.features <= cap)
         if not (is_1x1 or is_tap):
             return super().__call__(x)
         kernel = self.param(
