@@ -37,13 +37,14 @@ class _DotConv(nn.Conv):
     faster on v5e (scripts/exp_fine_convs.py):
       - 1x1 (any stride): dot_general over flattened pixels — 2.3x
         fwd+grads; full-step fp32 19.16 -> 20.76 f/s;
-      - 3x3 stride-1 with ci,co <= TAP_MAX_C: 9 tap-shifted pixel matmuls
+      - 3x3 stride-1 with ci,co <= cap: 9 tap-shifted pixel matmuls
         accumulated (no im2col materialization) — 19-29% fwd+grads at the
         fine shapes; full-step fp32 20.76 -> 22.78 f/s at cap 64. Isolated
         microbenches also favored taps at 128-256 channels, but the full
         step REGRESSED at cap 256 (19.9 f/s): in-step, the mid-channel
         convs sit in fused contexts the micro cannot reproduce — hence the
-        measured-in-step cap, not the micro-suggested one.
+        measured-in-step, dtype-conditional caps below, not the
+        micro-suggested ones.
     Parameter names/shapes are exactly nn.Conv's ('kernel' [kh,kw,ci,co],
     'bias' [co]) so checkpoints and torch import/export are unaffected."""
 
