@@ -80,9 +80,22 @@ class _DotConv(nn.Conv):
         is_1x1 = (plain and tuple(k) == (1, 1)
                   and self.padding == ((0, 0), (0, 0)))
         env_cap = os.environ.get("CC_TPU_TAP_CAP")
-        cap = (int(env_cap) if env_cap
-               else self.TAP_MAX_C_BF16 if x.dtype == jnp.bfloat16
-               else self.TAP_MAX_C)
+        if env_cap:
+            try:
+                cap = int(env_cap)
+            except ValueError:
+                raise ValueError(
+                    f"CC_TPU_TAP_CAP must be an integer channel cap, "
+                    f"got {env_cap!r}") from None
+        else:
+            # Key the cap on the COMPUTE dtype promote_dtype will use
+            # (module dtype when set, else the input's): in production
+            # apply_net casts params+inputs together so x.dtype is the
+            # compute dtype, but a module constructed with an explicit
+            # dtype= must cap per that dtype, not per its input's.
+            comp_dt = self.dtype or x.dtype
+            cap = (self.TAP_MAX_C_BF16 if comp_dt == jnp.bfloat16
+                   else self.TAP_MAX_C)
         is_tap = (plain and tuple(k) == (3, 3) and s == 1
                   and self.padding == ((1, 1), (1, 1))
                   and x.shape[-1] <= cap

@@ -17,6 +17,41 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def paper_config(b: int = 4, h: int = 256, w: int = 832, **overrides):
+    """The canonical full-step operating point every scripts/ harness and
+    bench.py time: CC paper flags at 832x256 batch 4 (reference
+    train.py's run recipe). Keep ONE definition so a future change to the
+    paper defaults can't silently de-calibrate one harness against the
+    others (advisor r5). Pre-r5 scripts inline the same literals; they are
+    frozen measurement artifacts backing PARITY.md and stay as-is."""
+    from cc_tpu.train import TrainConfig
+    base = dict(
+        height=h, width=w, batch_size=b,
+        wssim=0.997, smoothness_type="edgeaware",
+        mask_loss_weight=0.1, flow_photo_loss_weight=0.5,
+        cam_photo_loss_weight=1.0, smooth_loss_weight=0.1,
+        consensus_loss_weight=0.3, lr=1e-4,
+    )
+    base.update(overrides)
+    return TrainConfig(**base)
+
+
+def paper_batch(cfg, seed: int = 0):
+    """Deterministic synthetic batch (images in [-1,1], plausible KITTI
+    intrinsics) at cfg's shapes — the input every harness times against."""
+    b, h, w = cfg.batch_size, cfg.height, cfg.width
+    r = np.random.RandomState(seed)
+    k = np.array([[w * 0.6, 0, w / 2], [0, h * 1.2, h / 2], [0, 0, 1]],
+                 dtype=np.float32)[None].repeat(b, 0)
+    return {
+        "tgt": jnp.asarray(r.rand(b, h, w, 3).astype(np.float32) * 2 - 1),
+        "refs": jnp.asarray(
+            r.rand(b, cfg.nb_ref_imgs, h, w, 3).astype(np.float32) * 2 - 1),
+        "intrinsics": jnp.asarray(k),
+        "intrinsics_inv": jnp.asarray(np.linalg.inv(k)),
+    }
+
+
 @jax.jit
 def _scalarize(x):
     return jnp.sum(x.astype(jnp.float32))

@@ -39,8 +39,19 @@ def main():
             low.compile(compiler_options={name: val})
             print(f"VALID   {name}={val}", flush=True)
         except Exception as e:  # noqa: BLE001
-            msg = str(e).splitlines()[0][:80]
-            print(f"invalid {name}  ({msg})", flush=True)
+            msg = str(e)
+            # Only a compiler rejection that names the option counts as
+            # "invalid"; a tunnel/transport failure (UNAVAILABLE, timeouts)
+            # must abort the sweep rather than silently misclassify every
+            # remaining candidate as a bad name.
+            if name in msg or "option" in msg.lower() or "flag" in msg.lower():
+                print(f"invalid {name}  ({msg.splitlines()[0][:80]})",
+                      flush=True)
+            else:
+                print(f"ERROR   {name}: not an option-name rejection — "
+                      f"aborting sweep ({msg.splitlines()[0][:120]})",
+                      flush=True)
+                raise
 
 
 if __name__ == "__main__":

@@ -61,29 +61,15 @@ def probe():
 
 
 def run_step(options: dict[str, str], label: str):
-    from cc_tpu.train import TrainConfig, make_models, init_state, \
-        build_train_step
+    from cc_tpu.train import make_models, init_state, build_train_step
+    from scripts._bench_util import paper_config, paper_batch
 
-    b, h, w = 4, 256, 832
-    cfg = TrainConfig(
-        height=h, width=w, batch_size=b,
-        wssim=0.997, smoothness_type="edgeaware",
-        mask_loss_weight=0.1, flow_photo_loss_weight=0.5,
-        cam_photo_loss_weight=1.0, smooth_loss_weight=0.1,
-        consensus_loss_weight=0.3, lr=1e-4,
-        compute_dtype=os.environ.get("CC_BENCH_DTYPE", "float32"),
-    )
+    cfg = paper_config(
+        compute_dtype=os.environ.get("CC_BENCH_DTYPE", "float32"))
+    b = cfg.batch_size
     mods = make_models(cfg)
     state = init_state(cfg, jax.random.PRNGKey(0))
-    r = np.random.RandomState(0)
-    k = np.array([[w * 0.6, 0, w / 2], [0, h * 1.2, h / 2], [0, 0, 1]],
-                 dtype=np.float32)[None].repeat(b, 0)
-    batch = {
-        "tgt": jnp.asarray(r.rand(b, h, w, 3).astype(np.float32) * 2 - 1),
-        "refs": jnp.asarray(r.rand(b, 4, h, w, 3).astype(np.float32) * 2 - 1),
-        "intrinsics": jnp.asarray(k),
-        "intrinsics_inv": jnp.asarray(np.linalg.inv(k)),
-    }
+    batch = paper_batch(cfg)
     jitted = build_train_step(cfg, mods, donate=True)
     t0 = time.perf_counter()
     lowered = jitted.lower(state, batch)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from cc_tpu.train import TrainConfig, make_models, init_state, \
     build_train_step
 
-from test_train_step import H, W, synth_batch, tiny_config
+from test_train_step import synth_batch, tiny_config
 
 
 def _bf16_cfg():
